@@ -1,0 +1,60 @@
+"""BM25 scoring math — the single source of truth for both the Spark engine
+and the oracle, per the north rule (rank-identical top-k).
+
+The reference's proximity-class scorer (reference
+DyableRequest/SearchHitItems/HitScore.h:139-233) is replaced by BM25 with a
+document-prior multiplier; the PageRank ("PulseRank") prior enters the score
+exactly as the reference's pulse score enters its spatial ranking
+(DyableRequest/WordDivision.h:51-197 block scores).
+
+    idf(t)      = ln( (N - df + 0.5) / (df + 0.5) + 1 )        (Lucene form,
+                  always > 0 — required for block-max upper bounds)
+    contrib(t,d)= idf(t) * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl))
+    score(d)    = prior(d) * sum_t contrib(t,d)
+
+Ties broken by ascending doc_id (SURVEY.md §7.4). float64 throughout.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+K1 = 1.2
+B = 0.75
+
+
+def idf(df: int | np.ndarray, n_docs: int) -> float | np.ndarray:
+    return np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+
+def contrib(tf: np.ndarray, doc_len: np.ndarray, avgdl: float,
+            term_idf: float) -> np.ndarray:
+    """Vectorized per-(term,doc) BM25 contribution (prior not applied)."""
+    tf = tf.astype(np.float64)
+    norm = K1 * (1.0 - B + B * (doc_len.astype(np.float64) / avgdl))
+    return term_idf * tf * (K1 + 1.0) / (tf + norm)
+
+
+def contrib_scalar(tf: float, doc_len: float, avgdl: float,
+                   term_idf: float) -> float:
+    norm = K1 * (1.0 - B + B * (doc_len / avgdl))
+    return term_idf * tf * (K1 + 1.0) / (tf + norm)
+
+
+def max_contrib_bound(term_idf: float) -> float:
+    """tf->inf, dl->0 upper bound for a term: idf * (k1+1) / ... <= idf*(k1+1).
+    Used only as a sanity cap; real block maxima are exact per block."""
+    return term_idf * (K1 + 1.0)
+
+
+def top_k_sort(doc_ids: np.ndarray, scores: np.ndarray, k: int):
+    """Deterministic top-k: score desc, doc_id asc. Returns (ids, scores)."""
+    order = np.lexsort((doc_ids, -scores))
+    sel = order[:k]
+    return doc_ids[sel], scores[sel]
+
+
+def ln(x: float) -> float:
+    return math.log(x)

@@ -1,0 +1,102 @@
+"""Iterative DataFrame PageRank ("PulseRank" re-expression).
+
+The reference runs 20 scatter/gather cycles over hash-partitioned link files
+(reference DyableWebGraph/DyablePuleRank/DistributePulseScores.cpp:34-65 +
+AccumulateHashDivision.cpp:46-105, cycle count DyableCommand/
+DyableCommand.cpp:37). Here each cycle is one join + groupBy over
+``links(src, dst, weight)`` with per-src weights pre-normalized to 1.
+
+Scale notes:
+- links are hash-repartitioned on ``src`` ONCE up front and persisted, so the
+  per-iteration ``ranks(src)`` join reuses a co-partitioned build side; the
+  per-iteration shuffle is only the groupBy(dst) of the scatter output.
+- ``localCheckpoint`` every few cycles truncates the 20-join lineage (else the
+  plan grows exponentially and the driver OOMs on plan analysis).
+- dangling mass is a scalar aggregate per cycle (tiny job vs the scatter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DAMPING = 0.85
+ITERATIONS = 20
+
+
+def build_link_graph(edges: DataFrame, max_links_per_src: int = 10,
+                     affiliated_pool: float = 0.1,
+                     cross_pool: float = 0.9) -> DataFrame:
+    """edges(src, dst, affiliated bool) -> links(src, dst, weight) with the
+    oracle's contract: pool split per src, dedup-sum, top-10 by (weight desc,
+    dst asc), per-src normalize (reference CreateBinaryLinks.cpp:28-51 +
+    CreateClusteredLinkSet.cpp:82-186)."""
+    from pyspark.sql import Window as W
+
+    per_src = edges.groupBy("src").agg(
+        F.sum(F.when(F.col("affiliated"), 1).otherwise(0)).alias("n_aff"),
+        F.sum(F.when(F.col("affiliated"), 0).otherwise(1)).alias("n_cross"),
+    )
+    weighted = (
+        edges.join(per_src, "src")
+        .withColumn(
+            "w",
+            F.when(
+                F.col("affiliated"),
+                F.when(F.col("n_cross") > 0, F.lit(affiliated_pool))
+                 .otherwise(F.lit(1.0)) / F.col("n_aff"),
+            ).otherwise(
+                F.when(F.col("n_aff") > 0, F.lit(cross_pool))
+                 .otherwise(F.lit(1.0)) / F.col("n_cross")
+            ),
+        )
+        .groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    )
+    win = W.partitionBy("src").orderBy(F.col("w").desc(), F.col("dst").asc())
+    top = (weighted.withColumn("_rk", F.row_number().over(win))
+           .filter(F.col("_rk") <= max_links_per_src).drop("_rk"))
+    norm = top.groupBy("src").agg(F.sum("w").alias("_tot"))
+    return (top.join(norm, "src")
+            .select("src", "dst", (F.col("w") / F.col("_tot")).alias("weight")))
+
+
+def pagerank(links: DataFrame, n_docs: int, doc_ids: DataFrame,
+             iterations: int = ITERATIONS, damping: float = DAMPING,
+             num_partitions: int | None = None) -> DataFrame:
+    """links(src, dst, weight), doc_ids(doc_id) -> (doc_id, pagerank).
+
+    Matches oracle.index.OracleIndex._pagerank to float64 roundoff.
+    """
+    spark = links.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    links_p = links.repartition(n_part, "src").persist()
+    links_p.count()  # materialize once; reused every cycle
+
+    src_set = links_p.select(F.col("src").alias("doc_id")).distinct()
+    dangling_ids = doc_ids.join(src_set, "doc_id", "left_anti").persist()
+
+    ranks = doc_ids.withColumn("rank", F.lit(1.0 / n_docs))
+    d = damping
+    for i in range(iterations):
+        dangling = (
+            dangling_ids.join(ranks, "doc_id")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0))).collect()[0][0])
+        contrib = (
+            links_p.join(ranks.withColumnRenamed("doc_id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("weight")).alias("contrib"))
+            .withColumnRenamed("dst", "doc_id"))
+        ranks = (
+            doc_ids.join(contrib, "doc_id", "left")
+            .select(
+                "doc_id",
+                (F.lit((1.0 - d) / n_docs)
+                 + F.lit(d) * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                               + F.lit(dangling / n_docs))).alias("rank")))
+        # eager checkpoint each cycle: the dangling-mass collect is an action
+        # per cycle anyway, and without truncation the 20-join lineage makes
+        # every such action recompute the whole history (the reference also
+        # materializes score files per cycle, AccumulateHashDivision.cpp)
+        ranks = ranks.localCheckpoint(eager=True)
+    links_p.unpersist()
+    dangling_ids.unpersist()
+    return ranks.withColumnRenamed("rank", "pagerank")

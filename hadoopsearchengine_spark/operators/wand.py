@@ -1,0 +1,210 @@
+"""BM25 top-k retrieval over the posting-block index.
+
+Two paths, both rank-identical to the oracle:
+
+- ``QueryEngine`` (warm local library): loads only the query terms' blocks
+  via parquet predicate pushdown (pyarrow ``filters=[("term_id","in",...)]``)
+  and scores with **block-max pruning**: the doc-id space is processed in
+  block-aligned ranges; a range whose summed per-term block-max scores cannot
+  beat the current k-th score is skipped without decoding. This re-expresses
+  the reference's best-first bisection pruning over ≤1 MB hit segments with
+  doc-id bounds (reference DyableRequest/SearchHitItems/SearchHitItems.h:
+  131-254, segment metadata DyableSort/CompileLookupIndex/
+  HitTypeWordDivision.h:10-21) — same upper-bound idea, vectorized. Pruning
+  is rank-exact: only ranges provably below the k-th score are skipped, and
+  the stored block max is ``max(prior * contrib)`` which upper-bounds every
+  doc's per-term share of ``prior * Σ contrib``.
+
+- ``bm25_topk_df`` (distributed): plain DataFrame join/agg scoring for
+  driver-verifiable parity and for batch query workloads.
+
+The per-query engine is what the p95-latency benchmark measures (SURVEY §3.2:
+"for p95-latency benchmarking the same kernels run as a warm local library").
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from ..kernel import bm25
+from ..kernel.codec import decode_deltas, decode_varints
+from ..kernel.tokenize import tokenize
+
+
+class QueryEngine:
+    """Warm local query path over a built index directory."""
+
+    def __init__(self, index_dir: str):
+        import pyarrow.parquet as pq
+        self.index_dir = index_dir
+        t = pq.read_table(f"{index_dir}/terms").to_pandas()
+        self.term_id = dict(zip(t["term"], t["term_id"]))
+        self.term_df = dict(zip(t["term"], t["df"]))
+        d = pq.read_table(f"{index_dir}/docs",
+                          columns=["doc_id", "doc_len", "prior"]).to_pandas()
+        self.doc_len = np.zeros(int(d["doc_id"].max()) + 1, dtype=np.float64)
+        self.doc_len[d["doc_id"].to_numpy()] = d["doc_len"].to_numpy()
+        self.prior = np.zeros_like(self.doc_len)
+        self.prior[d["doc_id"].to_numpy()] = d["prior"].to_numpy()
+        s = pq.read_table(f"{index_dir}/stats").to_pylist()[0]
+        self.n_docs, self.avgdl = int(s["n_docs"]), float(s["avgdl"])
+
+    def _load_blocks(self, term_ids: list[int]):
+        import pyarrow.parquet as pq
+        tbl = pq.read_table(
+            f"{self.index_dir}/postings",
+            filters=[("term_id", "in", term_ids)],
+            columns=["term_id", "block_no", "min_doc", "max_doc", "n_docs",
+                     "max_score", "doc_gaps", "tfs"])
+        return tbl.to_pandas()
+
+    def search(self, query: str, k: int = 10,
+               prune: bool = True) -> list[tuple[int, float]]:
+        """-> [(doc_id, score)] score desc, doc_id asc; len <= k."""
+        qterms = sorted(set(tokenize(query)))
+        tids = [int(self.term_id[t]) for t in qterms if t in self.term_id]
+        if not tids:
+            return []
+        idfs = {int(self.term_id[t]): float(bm25.idf(int(self.term_df[t]),
+                                                     self.n_docs))
+                for t in qterms if t in self.term_id}
+        blocks = self._load_blocks(tids)
+        if len(blocks) == 0:
+            return []
+
+        # block-aligned candidate ranges: boundaries from all blocks' bounds
+        bounds = np.unique(np.concatenate(
+            [blocks["min_doc"].to_numpy(),
+             blocks["max_doc"].to_numpy() + 1]))
+        ranges = list(zip(bounds[:-1], bounds[1:]))  # [lo, hi)
+
+        # per range, which blocks overlap + their max_score sum
+        blk_min = blocks["min_doc"].to_numpy()
+        blk_max = blocks["max_doc"].to_numpy()
+        blk_ms = blocks["max_score"].to_numpy()
+
+        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+        theta = -np.inf
+        # 1e-9 slack absorbs float ulp differences between the block-max sum
+        # and the actual score sum (different summation orders), keeping the
+        # prune rank-exact including ties
+        EPS = 1e-9
+
+        # score ranges in descending upper-bound order so theta rises fast
+        range_ubs = []
+        for lo, hi in ranges:
+            mask = (blk_min < hi) & (blk_max >= lo)
+            range_ubs.append((float(blk_ms[mask].sum()), int(lo), int(hi)))
+        range_ubs.sort(key=lambda x: -x[0])
+
+        term_ids_arr = blocks["term_id"].to_numpy()
+        decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+        def ensure_decoded(bi: int):
+            got = decoded.get(bi)
+            if got is None:
+                row = blocks.iloc[bi]
+                ids = decode_deltas(row["doc_gaps"]).astype(np.int64)
+                tfs = decode_varints(row["tfs"]).astype(np.int64)
+                got = decoded[bi] = (ids, tfs)
+            return got
+
+        self.blocks_scored = 0  # instrumentation for prune-rate tests
+        self.blocks_total = int(len(blocks))
+        for ub, lo, hi in range_ubs:
+            if prune and len(heap) >= k and ub < theta - EPS:
+                continue  # no doc in this range can beat/tie the k-th score
+            idx = np.flatnonzero((blk_min < hi) & (blk_max >= lo))
+            all_d, all_c = [], []
+            for bi in idx:
+                ids, tfs = ensure_decoded(int(bi))
+                l = int(np.searchsorted(ids, lo))
+                r = int(np.searchsorted(ids, hi))
+                if l == r:
+                    continue
+                dids = ids[l:r]
+                all_d.append(dids)
+                all_c.append(bm25.contrib(
+                    tfs[l:r], self.doc_len[dids], self.avgdl,
+                    idfs[int(term_ids_arr[bi])]))
+            if not all_d:
+                continue
+            self.blocks_scored += len(all_d)
+            d = np.concatenate(all_d)
+            c = np.concatenate(all_c)
+            uniq, inv = np.unique(d, return_inverse=True)
+            tot = np.zeros(len(uniq), dtype=np.float64)
+            np.add.at(tot, inv, c)
+            tot *= self.prior[uniq]
+            # only candidates that can enter the heap need the python loop
+            if len(heap) >= k:
+                cand = np.flatnonzero(tot >= theta - EPS)
+            else:
+                cand = np.arange(len(uniq))
+            for j in cand:
+                item = (float(tot[j]), -int(uniq[j]))
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+            if len(heap) >= k:
+                theta = heap[0][0]
+
+        out = sorted(((-nd, s) for s, nd in heap), key=lambda x: (-x[1], x[0]))
+        return [(int(d), float(s)) for d, s in out]
+
+
+def bm25_topk_df(spark, index_dir: str, query: str, k: int = 10):
+    """Distributed BM25 top-k as a declarative DataFrame plan (no WAND): the
+    posting scan is pruned to the query's term_ids (parquet predicate
+    pushdown), blocks decode in one Arrow pass, and the global top-k is a
+    TakeOrderedAndProject. Rank-identical to QueryEngine.search."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    qterms = sorted(set(tokenize(query)))
+    terms = spark.read.parquet(f"{index_dir}/terms").filter(
+        F.col("term").isin(qterms)).select("term", "term_id", "df").collect()
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    s = spark.read.parquet(f"{index_dir}/stats").collect()[0]
+    n_docs, avgdl = int(s["n_docs"]), float(s["avgdl"])
+    idf_by_tid = {int(r["term_id"]): float(bm25.idf(int(r["df"]), n_docs))
+                  for r in terms}
+    tids = list(idf_by_tid)
+    idf_df = spark.createDataFrame(
+        [(t, v) for t, v in idf_by_tid.items()], "term_id long, idf double")
+
+    blocks = (spark.read.parquet(f"{index_dir}/postings")
+              .filter(F.col("term_id").isin(tids))
+              .select("term_id", "doc_gaps", "tfs"))
+
+    def decode(iterator):
+        for pdf in iterator:
+            outs = []
+            for tid, gaps, tfs in zip(pdf["term_id"], pdf["doc_gaps"],
+                                      pdf["tfs"]):
+                ids = decode_deltas(gaps).astype(np.int64)
+                tf = decode_varints(tfs).astype(np.int64)
+                outs.append(pd.DataFrame(
+                    {"term_id": int(tid), "doc_id": ids, "tf": tf}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    posts = blocks.mapInPandas(decode, schema="term_id long, doc_id long, tf long")
+    docs = spark.read.parquet(f"{index_dir}/docs").select(
+        "doc_id", "doc_len", "prior")
+
+    scored = (
+        posts.join(F.broadcast(idf_df), "term_id").join(docs, "doc_id")
+        .withColumn("contrib", F.col("idf") * F.col("tf")
+                    * F.lit(bm25.K1 + 1.0)
+                    / (F.col("tf") + F.lit(bm25.K1)
+                       * (F.lit(1.0 - bm25.B)
+                          + F.lit(bm25.B) * F.col("doc_len") / F.lit(avgdl))))
+        .groupBy("doc_id", "prior")
+        .agg(F.sum("contrib").alias("c"))
+        .select("doc_id", (F.col("prior") * F.col("c")).alias("score")))
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)

@@ -1,0 +1,270 @@
+"""The staged index build: pages -> inverted index (Spark-first).
+
+Stage graph (each stage = one DataFrame action writing parquet + a manifest
+row; barriers between stages mirror the reference's process-spawn barriers,
+reference DyableCommand/DyableCommand.cpp:641-724):
+
+    docs_ids   urls -> dense doc ids (distributed prefix-sum rank)
+    extracted  html -> (text, title, links[]) via one Arrow-batched kernel
+               pass [reference stage DyableParseHTML, SURVEY §2.2 #1]
+    doc_terms  text -> (doc_id, term, tf, positions[]) [DyableIndex, #3]
+    terms      term dictionary + df/cf + dense term ids [DyableLogFile +
+               CreateWordList, #4/#6]
+    links      anchor edges -> weighted, deduped, top-10/src, normalized
+               [CreateBinaryLinks + CreateClusteredLinkSet, #8a/b]
+    docs       doc stats + 20-cycle PageRank priors [PulseRank, #8c]
+    postings   BM25-scored posting blocks: delta+varint payloads, block-max
+               scores, head-term range-bucket salting [SortHitList +
+               CompileLookupIndex, #14/#15]
+    stats      scalar corpus stats (n_docs, avgdl)
+
+Skew: the posting build groups by (term_id, bucket) where head terms
+(df > head_df_threshold) are salted by doc-id RANGE buckets — ranges, not
+hashes, so each group emits globally valid doc-sorted blocks and the "merge"
+of a head term's buckets is pure concatenation (block payloads are
+self-contained: first doc id absolute, gaps after). Tail terms keep bucket=0.
+The reference does not handle skew at all (SURVEY §4); this is the required
+addition for 10^12-doc scale.
+"""
+
+from __future__ import annotations
+
+import math
+from urllib.parse import urlsplit
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..kernel import bm25
+from ..kernel.codec import encode_deltas, encode_positions, encode_varints
+from ..kernel.htmlx import extract
+from ..kernel.tokenize import tokenize
+from ..operators.ids import assign_dense_ids
+from ..operators.pagerank import build_link_graph, pagerank
+from .manifest import Manifest, fingerprint
+
+DEFAULT_BLOCK_DOCS = 4096
+
+EXTRACTED_SCHEMA = ("doc_id long, url string, text string, title string, "
+                    "links array<string>")
+DOC_TERMS_SCHEMA = ("doc_id long, term string, tf int, positions array<int>")
+POSTING_BLOCK_SCHEMA = (
+    "term_id long, min_doc long, max_doc long, n_docs int, max_score double, "
+    "doc_gaps binary, tfs binary, positions binary")
+
+
+def _extract_batches(iterator):
+    """Arrow-batched kernel pass: (doc_id, url, html) -> EXTRACTED_SCHEMA."""
+    for pdf in iterator:
+        rows = []
+        for doc_id, url, html in zip(pdf["doc_id"], pdf["url"], pdf["html"]):
+            r = extract(html, url)
+            rows.append((doc_id, url, r.text, r.title, r.links))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "url", "text", "title", "links"])
+
+
+def _doc_terms_batches(iterator):
+    """(doc_id, text) -> one row per (doc, term): tf + positions."""
+    for pdf in iterator:
+        out_doc, out_term, out_tf, out_pos = [], [], [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            per_term: dict[str, list[int]] = {}
+            for pos, t in enumerate(tokenize(text)):
+                per_term.setdefault(t, []).append(pos)
+            for t, positions in per_term.items():
+                out_doc.append(doc_id)
+                out_term.append(t)
+                out_tf.append(len(positions))
+                out_pos.append(positions)
+        yield pd.DataFrame({"doc_id": out_doc, "term": out_term,
+                            "tf": out_tf, "positions": out_pos})
+
+
+def _build_blocks(pdf: pd.DataFrame, block_docs: int) -> pd.DataFrame:
+    """One (term_id, bucket) group -> posting-block rows (POSTING_BLOCK_SCHEMA
+    minus block_no; payloads are self-contained so buckets concatenate)."""
+    pdf = pdf.sort_values("doc_id", kind="mergesort")
+    term_id = int(pdf["term_id"].iloc[0])
+    doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    tfs = pdf["tf"].to_numpy(dtype=np.int64)
+    scores = pdf["score"].to_numpy(dtype=np.float64)
+    positions = pdf["positions"].to_numpy()
+    rows = []
+    for start in range(0, len(doc_ids), block_docs):
+        end = min(start + block_docs, len(doc_ids))
+        blk_docs = doc_ids[start:end]
+        blk_tfs = tfs[start:end]
+        blk_pos = np.concatenate(
+            [np.asarray(p, dtype=np.int64) for p in positions[start:end]])
+        rows.append((
+            term_id, int(blk_docs[0]), int(blk_docs[-1]), end - start,
+            float(scores[start:end].max()),
+            encode_deltas(blk_docs),
+            encode_varints(blk_tfs.astype(np.uint64)),
+            encode_positions(blk_pos, blk_tfs),
+        ))
+    return pd.DataFrame(rows, columns=[
+        "term_id", "min_doc", "max_doc", "n_docs", "max_score",
+        "doc_gaps", "tfs", "positions"])
+
+
+def _stage(m: Manifest, name: str, input_ref: str, out_path: str,
+           write_fn, resume: bool) -> str:
+    """Run one stage unless the manifest proves it already completed with the
+    same inputs. Returns the output path."""
+    ref = fingerprint(name, input_ref)
+    if resume and m.completed(name, ref):
+        return out_path
+    rows = write_fn(out_path)
+    m.record(name, ref, out_path, rows)
+    return out_path
+
+
+def build_index(spark, pages: DataFrame | str, index_dir: str, *,
+                block_docs: int = DEFAULT_BLOCK_DOCS,
+                head_df_threshold: int = 50_000,
+                n_range_buckets: int | None = None,
+                pagerank_iters: int = 20,
+                resume: bool = False) -> dict:
+    """Build the full index under ``index_dir``. Returns stage paths + stats.
+
+    resume=True skips any stage whose manifest row matches the current input
+    fingerprint and whose output is intact (write-then-commit makes this safe
+    after a kill at any point).
+    """
+    if isinstance(pages, str):
+        pages_path = pages
+        pages = spark.read.parquet(pages_path)
+    else:
+        pages_path = "<inline>"
+    m = Manifest(spark, index_dir)
+    p = spark.sparkContext.defaultParallelism
+    n_buckets = n_range_buckets or p * 2
+
+    n_pages = pages.count()
+    base_ref = fingerprint(pages_path, n_pages, block_docs,
+                           head_df_threshold, n_buckets, pagerank_iters)
+    paths = {s: f"{index_dir}/{s}" for s in
+             ("docs_ids", "extracted", "doc_terms", "terms", "links",
+              "docs", "postings", "stats")}
+
+    # -- docs_ids: dense rank over url ------------------------------------
+    def w_docs_ids(out):
+        ids = assign_dense_ids(
+            pages.select("url").distinct(), "url", "doc_id", p)
+        ids.write.mode("overwrite").parquet(out)
+        return n_pages
+    _stage(m, "docs_ids", base_ref, paths["docs_ids"], w_docs_ids, resume)
+    docs_ids = spark.read.parquet(paths["docs_ids"])
+
+    # -- extracted: the single html kernel pass ---------------------------
+    def w_extracted(out):
+        df = (pages.join(docs_ids, "url")
+              .select("doc_id", "url", "html")
+              .mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA))
+        df.write.mode("overwrite").parquet(out)
+        return n_pages
+    _stage(m, "extracted", base_ref, paths["extracted"], w_extracted, resume)
+    extracted = spark.read.parquet(paths["extracted"])
+
+    # -- doc_terms ---------------------------------------------------------
+    def w_doc_terms(out):
+        df = (extracted.select("doc_id", "text")
+              .mapInPandas(_doc_terms_batches, schema=DOC_TERMS_SCHEMA))
+        df.write.mode("overwrite").parquet(out)
+        return n_pages
+    _stage(m, "doc_terms", base_ref, paths["doc_terms"], w_doc_terms, resume)
+    doc_terms = spark.read.parquet(paths["doc_terms"])
+
+    # -- terms: dictionary + df/cf + dense ids ------------------------------
+    def w_terms(out):
+        stats = doc_terms.groupBy("term").agg(
+            F.count("*").alias("df"), F.sum("tf").alias("cf"))
+        assign_dense_ids(stats, "term", "term_id", p).write.mode(
+            "overwrite").parquet(out)
+        return -1
+    _stage(m, "terms", base_ref, paths["terms"], w_terms, resume)
+    terms = spark.read.parquet(paths["terms"])
+
+    # -- links: resolve anchors, weight, cull, normalize --------------------
+    def w_links(out):
+        dom = lambda c: F.lower(F.regexp_extract(c, r"^https?://([^/]+)", 1))
+        edges = (
+            extracted.select(
+                F.col("doc_id").alias("src"), dom(F.col("url")).alias("sdom"),
+                F.explode("links").alias("link"))
+            .join(docs_ids.select(F.col("url").alias("link"),
+                                  F.col("doc_id").alias("dst")), "link")
+            .filter(F.col("src") != F.col("dst"))
+            .select("src", "dst",
+                    (dom(F.col("link")) == F.col("sdom")).alias("affiliated")))
+        build_link_graph(edges).write.mode("overwrite").parquet(out)
+        return -1
+    _stage(m, "links", base_ref, paths["links"], w_links, resume)
+    links = spark.read.parquet(paths["links"])
+
+    # -- docs: doc_len + PageRank prior -------------------------------------
+    def w_docs(out):
+        doc_len = doc_terms.groupBy("doc_id").agg(
+            F.sum("tf").alias("doc_len"))
+        base = (docs_ids.join(doc_len, "doc_id", "left")
+                .fillna(0, subset=["doc_len"]))
+        pr = pagerank(links, n_pages, docs_ids.select("doc_id"),
+                      iterations=pagerank_iters, num_partitions=p)
+        (base.join(pr, "doc_id")
+         .select("doc_id", "url", "doc_len",
+                 (F.col("pagerank") * F.lit(float(n_pages))).alias("prior"))
+         .write.mode("overwrite").parquet(out))
+        return n_pages
+    _stage(m, "docs", base_ref, paths["docs"], w_docs, resume)
+    docs = spark.read.parquet(paths["docs"])
+
+    # -- stats ---------------------------------------------------------------
+    def w_stats(out):
+        (docs.agg(F.count("*").alias("n_docs"),
+                  F.avg("doc_len").alias("avgdl"))
+         .write.mode("overwrite").parquet(out))
+        return 1
+    _stage(m, "stats", base_ref, paths["stats"], w_stats, resume)
+    stat = spark.read.parquet(paths["stats"]).collect()[0]
+    n_docs, avgdl = int(stat["n_docs"]), float(stat["avgdl"])
+
+    # -- postings: scored, salted, blocked -----------------------------------
+    def w_postings(out):
+        bucket_span = max(1, math.ceil(n_docs / n_buckets))
+        scored = (
+            doc_terms
+            .join(terms.select("term", "term_id", "df"), "term")
+            .join(docs.select("doc_id", "doc_len", "prior"), "doc_id")
+            .withColumn("idf", F.log(
+                (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0))
+            .withColumn("score", F.col("prior") * F.col("idf")
+                        * F.col("tf") * F.lit(bm25.K1 + 1.0)
+                        / (F.col("tf") + F.lit(bm25.K1)
+                           * (F.lit(1.0 - bm25.B) + F.lit(bm25.B)
+                              * F.col("doc_len") / F.lit(avgdl))))
+            .withColumn("bucket", F.when(
+                F.col("df") > head_df_threshold,
+                (F.col("doc_id") / F.lit(bucket_span)).cast("long"))
+                .otherwise(F.lit(0)))
+            .select("term_id", "bucket", "doc_id", "tf", "positions",
+                    "score"))
+        blocks = scored.groupBy("term_id", "bucket").applyInPandas(
+            lambda pdf: _build_blocks(pdf, block_docs),
+            schema=POSTING_BLOCK_SCHEMA)
+        # global block_no per term: tiny table (≈ postings/block_docs rows)
+        from pyspark.sql import Window as W
+        win = W.partitionBy("term_id").orderBy("min_doc")
+        (blocks.withColumn("block_no",
+                           (F.row_number().over(win) - 1).cast("int"))
+         .repartition(p, "term_id")
+         .sortWithinPartitions("term_id", "block_no")
+         .write.mode("overwrite").parquet(out))
+        return -1
+    _stage(m, "postings", base_ref, paths["postings"], w_postings, resume)
+
+    return {"paths": paths, "n_docs": n_docs, "avgdl": avgdl,
+            "manifest": m.rows()}

