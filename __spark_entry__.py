@@ -1,38 +1,623 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an implemented operator from SURVEY.md §2 (or a
+training-data-pipeline op), expressed Spark-first in
+``hadoopsearchengine_spark``; ``oracle_sql()`` carries the DuckDB-equivalent
+ANSI SQL run by the driver at sf=0.01 (row-count + schema + value-hash).
+Entries without oracle SQL (iterative / hash-engine-specific / streaming ops)
+get the driver's weaker rows-only check and are verified against python
+oracles in tests/ instead.
+
+Naming: q_<family>_<op>. Every computed column is aliased identically in the
+Spark plan and the SQL so the driver's column-sorted value hash lines up.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from hadoopsearchengine_spark.functions import dedup, similarity
+from hadoopsearchengine_spark.functions.text import (
+    STOPWORDS, fingerprint_col, langid_col, quality_cols, tokens_col,
+    tokens_sql)
+from hadoopsearchengine_spark.sources.tables import load
+
+
+def _trunc6(col):
+    """floor(x*1e6)/1e6: boundary-free 6-dp truncation for ratios of exact
+    integers (both engines compute the identical double, so identical floor —
+    unlike round(), whose half-way tie-breaking differs between Spark
+    (HALF_UP on the binary value) and DuckDB (decimal-repr based))."""
+    return F.floor(col * 1000000.0) / 1000000.0
+
+
+# --------------------------------------------------------------------------
+# relational operators (SURVEY §2.1 MapReduce-primitive re-expressions)
+# --------------------------------------------------------------------------
+
+def q_rel_tpch_q1(spark, sf):
+    """Partial→final aggregation (FindKeyWeight/-Occurrence family,
+    MapReducePrimatives.h:228-250) as the classic TPC-H Q1 shape."""
+    li = load(spark, sf, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                  .alias("sum_disc_price"),
+                 _trunc6(F.avg("l_quantity")).alias("avg_qty"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q_rel_key_occurrence(spark, sf):
+    """FindKeyOccurrence (MapReducePrimatives.h:244-250): count per key."""
+    return (load(spark, sf, "orders").groupBy("o_custkey")
+            .agg(F.count("*").alias("n_orders")))
+
+
+def q_rel_key_weight(spark, sf):
+    """FindKeyWeight (MapReducePrimatives.h:228-234): sum weights per key."""
+    return (load(spark, sf, "lineitem").groupBy("l_partkey")
+            .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty")))
+
+
+def q_rel_hash_join(spark, sf):
+    """ApplyMapsToKeys external hash join (ApplyMapsToKeys.h:1-28) as a
+    broadcast join: lineitem × part → revenue per brand."""
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part")
+    return (li.join(F.broadcast(part),
+                    li.l_partkey == part.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                  .alias("revenue"),
+                 F.count("*").alias("n_lines")))
+
+
+def q_rel_topk_per_group(spark, sf):
+    """CLimitedPQ bounded top-k (WordLogEntry.h:67-87) as window row_number:
+    top-3 parts by revenue per supplier."""
+    li = load(spark, sf, "lineitem")
+    rev = (li.groupBy("l_suppkey", "l_partkey")
+           .agg(F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue")))
+    win = W.partitionBy("l_suppkey").orderBy(F.col("revenue").desc(),
+                                             F.col("l_partkey").asc())
+    return (rev.withColumn("rk", F.row_number().over(win))
+            .filter(F.col("rk") <= 3)
+            .select("l_suppkey", "l_partkey", "revenue", "rk"))
+
+
+def q_rel_dup_key_weight(spark, sf):
+    """FindDuplicateKeyWeight (MapReducePrimatives.h:308-330): broadcast each
+    key's aggregate back onto every instance — a window sum."""
+    li = load(spark, sf, "lineitem")
+    win = W.partitionBy("l_orderkey")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.sum("l_extendedprice").over(win), 2).alias("order_total"))
+
+
+def q_rel_merge_set(spark, sf):
+    """MergeSet grouped adjacency (MapReducePrimatives.h:276-298): values
+    grouped per key, deterministically ordered (csv for cross-engine hash)."""
+    return (load(spark, sf, "orders").groupBy("o_custkey")
+            .agg(F.array_join(
+                F.sort_array(F.collect_list(
+                    F.col("o_orderkey").cast("string"))), ",")
+                .alias("orderkeys")))
+
+
+def q_rel_kth_order_stat(spark, sf):
+    """CKthOrderStat external k-th order statistic (MapReduce.h:3-505, used
+    for the 95th-percentile cutoff LexonWords.cpp:87-102): exact interpolated
+    percentiles."""
+    li = load(spark, sf, "lineitem")
+    return li.agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99"))
+
+
+def q_rel_sort_merge_join(spark, sf):
+    """Merge join on sorted streams (SortHitList.cpp:44-72) → sort-merge
+    join orders×customer with per-nation rollup."""
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    return (o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_nationkey")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_price")))
+
+
+def q_rel_semi_anti(spark, sf):
+    """Semi/anti joins (stop-word-exclusion pattern, DocumentInstance.h:
+    99-103): customers with and without orders."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    with_orders = c.join(o, "c_custkey", "left_semi").select("c_custkey")
+    without = c.join(o, "c_custkey", "left_anti").select("c_custkey")
+    return (with_orders.withColumn("has_orders", F.lit(1))
+            .unionByName(without.withColumn("has_orders", F.lit(0))))
+
+
+# --------------------------------------------------------------------------
+# event-stream operators
+# --------------------------------------------------------------------------
+
+def q_evt_hourly_window(spark, sf):
+    """Tumbling-window aggregate (batch form of the streaming op)."""
+    ev = load(spark, sf, "events")
+    return (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("total_value")))
+
+
+def q_evt_sessionize(spark, sf):
+    """Sessionization: 30-min-gap sessions per user via lag + cumsum."""
+    ev = load(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; session TZ is UTC so NTZ->TZ->epoch is identity
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    sess = (ev.withColumn("new_sess",
+                          F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+            .withColumn("sess_no", F.sum("new_sess").over(
+                w.rowsBetween(W.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id")
+            .agg(F.max("sess_no").alias("n_sessions"),
+                 F.count("*").alias("n_events")))
+
+
+def q_evt_json_extract(spark, sf):
+    """JSON prop extraction: avg props.k per event_type."""
+    ev = load(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.groupBy("event_type")
+            .agg(_trunc6(F.avg(k)).alias("avg_k"),
+                 F.count(k).alias("n_with_k")))
+
+
+# --------------------------------------------------------------------------
+# text-analysis / dedup / similarity (training-data pipeline family)
+# --------------------------------------------------------------------------
+
+def q_txt_token_counts(spark, sf):
+    """DyableLogFile word counting (WordLogEntry.h:100-125): top-100 tokens
+    by (count desc, token asc) under the engine tokenizer."""
+    d = load(spark, sf, "documents")
+    toks = d.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+    return (toks.groupBy("token").agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("token").asc()).limit(100))
+
+
+def q_txt_term_doc_stats(spark, sf):
+    """Term dictionary with df/cf (CreateWordList.cpp:22-109)."""
+    d = load(spark, sf, "documents")
+    per_doc = (d.select("doc_id",
+                        F.explode(tokens_col(F.col("text"))).alias("token"))
+               .groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
+    return (per_doc.groupBy("token")
+            .agg(F.count("*").alias("df"), F.sum("tf").alias("cf")))
+
+
+def q_txt_dedup_exact(spark, sf):
+    return dedup.exact_dedup(load(spark, sf, "documents"), "text", "doc_id")
+
+
+def q_txt_fingerprint(spark, sf):
+    d = load(spark, sf, "documents")
+    return d.select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
+
+
+def q_txt_langid(spark, sf):
+    d = load(spark, sf, "documents")
+    return d.select("doc_id",
+                    langid_col(tokens_col(F.col("text"))).alias("pred_lang"))
+
+
+def q_txt_quality(spark, sf):
+    d = load(spark, sf, "documents")
+    return d.select("doc_id", *quality_cols(F.col("text"),
+                                            tokens_col(F.col("text"))))
+
+
+def q_txt_minhash_sig(spark, sf):
+    return dedup.minhash_signatures(
+        load(spark, sf, "documents"), "text", "doc_id")
+
+
+def q_txt_minhash_lsh(spark, sf):
+    return dedup.minhash_lsh_pairs(
+        load(spark, sf, "documents"), "text", "doc_id")
+
+
+def q_txt_ngram_jaccard(spark, sf):
+    return dedup.ngram_jaccard_pairs(
+        load(spark, sf, "documents"), "text", "doc_id", threshold=0.5)
+
+
+def q_txt_simhash(spark, sf):
+    """SimHash near-dup signatures (rows-only: xxhash64 is Spark-specific)."""
+    return dedup.simhash(load(spark, sf, "documents"), "text", "doc_id")
+
+
+def q_txt_simhash_pairs(spark, sf):
+    sig = dedup.simhash(load(spark, sf, "documents"), "text", "doc_id")
+    return dedup.simhash_near_pairs(sig, "doc_id", max_hamming=6)
+
+
+BM25_QUERY_TERMS = ["merge", "shuffle", "spark"]
+
+
+def q_txt_bm25_topk(spark, sf):
+    """BM25 top-10 over the documents table for a fixed query (k1=1.2,
+    b=0.75, Lucene idf) — the flagship scoring contract, SQL-verifiable."""
+    d = load(spark, sf, "documents")
+    per_doc = (d.select("doc_id",
+                        F.explode(tokens_col(F.col("text"))).alias("token"))
+               .groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
+    dl = per_doc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    n_docs = d.count()
+    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    qt = per_doc.filter(F.col("token").isin(BM25_QUERY_TERMS))
+    dfs = qt.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (qt.join(dfs, "token").join(dl, "doc_id")
+              .withColumn("idf", F.log(
+                  (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5) + 1.0))
+              .withColumn("contrib",
+                          F.col("idf") * F.col("tf") * F.lit(2.2)
+                          / (F.col("tf") + F.lit(1.2)
+                             * (F.lit(0.25) + F.lit(0.75)
+                                * F.col("dl") / F.lit(float(avgdl))))))
+    return (scored.groupBy("doc_id")
+            .agg(F.round(F.sum("contrib"), 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(10))
+
+
+def q_sim_ann_cosine(spark, sf):
+    """Brute-force exact cosine top-5 for query vectors vec_id < 10."""
+    emb = load(spark, sf, "embeddings")
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def q_sim_ann_lsh(spark, sf):
+    """LSH-bucketed approximate cosine top-5 (rows-only: approximate by
+    construction; recall vs exact is asserted in tests/)."""
+    emb = load(spark, sf, "embeddings")
+    return similarity.cosine_topk_lsh(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, n_planes=6)
+
+
+def q_sim_neardup(spark, sf):
+    """Embedding near-dup pairs: cosine >= 0.4, a < b."""
+    emb = load(spark, sf, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    pairs = (a.join(b, F.col("a") < F.col("b")))
+    pairs = similarity.with_cosine(pairs, "va", "vb", "cos_raw")
+    return (pairs.filter(F.col("cos_raw") >= 0.4)
+            .select("a", "b", F.round("cos_raw", 6).alias("cosine")))
+
+
+def q_mm_media_features(spark, sf):
+    """Multimodal plumbing (rows-only): documents' text bytes stand in for an
+    opaque media payload; decode is the deterministic stub."""
+    from hadoopsearchengine_spark.functions.multimodal import (
+        extract_media_features)
+    d = load(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload"))
+    return extract_media_features(d, "payload", "doc_id", fake=True)
+
+
+def q_stream_hourly_window(spark, sf):
+    """Structured-Streaming tumbling window over the events table (memory
+    sink, processAllAvailable) — same result as the batch q_evt_hourly_window,
+    so it shares that oracle SQL."""
+    import uuid
+    ev_schema = load(spark, sf, "events").schema
+    name = "s" + uuid.uuid4().hex[:12]
+    stream = (spark.readStream.schema(ev_schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf)
+              .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+              .agg(F.count("*").alias("n"),
+                   F.round(F.sum("value"), 4).alias("total_value")))
+    q = (stream.writeStream.outputMode("complete")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("w.start").alias("hour"), "event_type", "n", "total_value")
+
+
+# --------------------------------------------------------------------------
+# driver surface
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 over the sf0.001 documents table."""
+    return q_txt_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "rel_tpch_q1": q_rel_tpch_q1,
+        "rel_key_occurrence": q_rel_key_occurrence,
+        "rel_key_weight": q_rel_key_weight,
+        "rel_hash_join": q_rel_hash_join,
+        "rel_topk_per_group": q_rel_topk_per_group,
+        "rel_dup_key_weight": q_rel_dup_key_weight,
+        "rel_merge_set": q_rel_merge_set,
+        "rel_kth_order_stat": q_rel_kth_order_stat,
+        "rel_sort_merge_join": q_rel_sort_merge_join,
+        "rel_semi_anti": q_rel_semi_anti,
+        "evt_hourly_window": q_evt_hourly_window,
+        "evt_sessionize": q_evt_sessionize,
+        "evt_json_extract": q_evt_json_extract,
+        "txt_token_counts": q_txt_token_counts,
+        "txt_term_doc_stats": q_txt_term_doc_stats,
+        "txt_dedup_exact": q_txt_dedup_exact,
+        "txt_fingerprint": q_txt_fingerprint,
+        "txt_langid": q_txt_langid,
+        "txt_quality": q_txt_quality,
+        "txt_minhash_sig": q_txt_minhash_sig,
+        "txt_minhash_lsh": q_txt_minhash_lsh,
+        "txt_ngram_jaccard": q_txt_ngram_jaccard,
+        "txt_simhash": q_txt_simhash,
+        "txt_simhash_pairs": q_txt_simhash_pairs,
+        "txt_bm25_topk": q_txt_bm25_topk,
+        "sim_ann_cosine": q_sim_ann_cosine,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_neardup": q_sim_neardup,
+        "mm_media_features": q_mm_media_features,
+        "stream_hourly_window": q_stream_hourly_window,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_TOKS = tokens_sql("text")
+_STOP_LIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+_TOKS_CTE = f"""
+toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+tok AS (SELECT doc_id, unnest(ts) AS token FROM toks)
+"""
+
+_SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+idx AS (SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
+        FROM toks),
+sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+       FROM idx WHERE len(ts) >= 3)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql = {
+        "rel_tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   floor(avg(l_quantity) * 1000000.0) / 1000000.0 AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""",
+        "rel_key_occurrence": """
+            SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1""",
+        "rel_key_weight": """
+            SELECT l_partkey, round(sum(l_quantity), 4) AS total_qty
+            FROM lineitem GROUP BY 1""",
+        "rel_hash_join": """
+            SELECT p_brand,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1""",
+        "rel_topk_per_group": """
+            WITH rev AS (
+              SELECT l_suppkey, l_partkey,
+                     round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+              FROM lineitem GROUP BY 1, 2)
+            SELECT l_suppkey, l_partkey, revenue, rk FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY l_suppkey
+                  ORDER BY revenue DESC, l_partkey ASC) AS rk
+              FROM rev) WHERE rk <= 3""",
+        "rel_dup_key_weight": """
+            SELECT l_orderkey, l_linenumber,
+                   round(sum(l_extendedprice) OVER (PARTITION BY l_orderkey), 2)
+                       AS order_total
+            FROM lineitem""",
+        "rel_merge_set": """
+            SELECT o_custkey,
+                   string_agg(CAST(o_orderkey AS VARCHAR), ','
+                              ORDER BY CAST(o_orderkey AS VARCHAR)) AS orderkeys
+            FROM orders GROUP BY 1""",
+        "rel_kth_order_stat": """
+            SELECT round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+                   round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+            FROM lineitem""",
+        "rel_sort_merge_join": """
+            SELECT c_nationkey, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1""",
+        "rel_semi_anti": """
+            SELECT c_custkey, 1 AS has_orders FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+            UNION ALL
+            SELECT c_custkey, 0 AS has_orders FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+        "evt_hourly_window": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, round(sum(value), 4) AS total_value
+            FROM events GROUP BY 1, 2""",
+        "evt_sessionize": """
+            WITH g AS (
+              SELECT user_id,
+                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                            OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id
+                                       ORDER BY ts, event_id))
+            SELECT user_id, sum(new_sess) AS n_sessions,
+                   count(*) AS n_events
+            FROM g GROUP BY 1""",
+        "evt_json_extract": """
+            SELECT event_type,
+                   floor(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 1000000.0) / 1000000.0
+                       AS avg_k,
+                   count(json_extract_string(props, '$.k')) AS n_with_k
+            FROM events GROUP BY 1""",
+        "txt_token_counts": f"""
+            WITH {_TOKS_CTE}
+            SELECT token, count(*) AS n FROM tok
+            GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 100""",
+        "txt_term_doc_stats": f"""
+            WITH {_TOKS_CTE},
+            per_doc AS (SELECT doc_id, token, count(*) AS tf
+                        FROM tok GROUP BY 1, 2)
+            SELECT token, count(*) AS df, sum(tf) AS cf
+            FROM per_doc GROUP BY 1""",
+        "txt_dedup_exact": """
+            SELECT md5(text) AS text_md5, count(*) AS n_docs,
+                   min(doc_id) AS keep_id
+            FROM documents GROUP BY 1""",
+        "txt_fingerprint": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+            FROM documents""",
+        "txt_langid": f"""
+            WITH {_TOKS_CTE},
+            st AS (SELECT doc_id, count(*) AS n,
+                          sum(CASE WHEN list_contains({_STOP_LIST}, token)
+                              THEN 1 ELSE 0 END) AS hits
+                   FROM tok GROUP BY 1)
+            SELECT d.doc_id,
+                   CASE WHEN st.n IS NULL OR st.n = 0 THEN 'empty'
+                        WHEN st.hits * 1.0 / st.n >= 0.08 THEN 'en'
+                        ELSE 'unk' END AS pred_lang
+            FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id""",
+        "txt_quality": f"""
+            WITH {_TOKS_CTE},
+            st AS (SELECT doc_id, count(*) AS n_tokens,
+                          sum(len(token)) AS tot_len,
+                          sum(CASE WHEN list_contains({_STOP_LIST}, token)
+                              THEN 1 ELSE 0 END) AS hits
+                   FROM tok GROUP BY 1)
+            SELECT d.doc_id, len(d.text) AS n_chars,
+                   coalesce(st.n_tokens, 0) AS n_tokens,
+                   floor(CASE WHEN coalesce(st.n_tokens, 0) > 0
+                         THEN st.tot_len * 1.0 / st.n_tokens ELSE 0 END
+                         * 1000000.0) / 1000000.0 AS mean_token_len,
+                   floor(CASE WHEN coalesce(st.n_tokens, 0) > 0
+                         THEN st.hits * 1.0 / st.n_tokens ELSE 0 END
+                         * 1000000.0) / 1000000.0 AS stopword_ratio,
+                   floor((len(d.text) -
+                          len(regexp_replace(d.text, '[^\\w\\s]', '', 'g')))
+                         * 1.0 / greatest(len(d.text), 1)
+                         * 1000000.0) / 1000000.0 AS punct_ratio
+            FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id""",
+        "txt_minhash_sig": f"""
+            WITH {_SHINGLES_CTE}
+            SELECT doc_id,
+                   {", ".join(f"min(md5('{j}|' || s)) AS mh{j}"
+                              for j in range(dedup.N_MINHASH))}
+            FROM sh GROUP BY 1""",
+        "txt_minhash_lsh": f"""
+            WITH {_SHINGLES_CTE},
+            sig AS (SELECT doc_id,
+                   {", ".join(f"min(md5('{j}|' || s)) AS mh{j}"
+                              for j in range(dedup.N_MINHASH))}
+                    FROM sh GROUP BY 1),
+            bands AS (
+              {" UNION ALL ".join(
+                  f"SELECT doc_id, md5(mh{2*b} || '|' || mh{2*b+1}) AS band_key FROM sig"
+                  for b in range(dedup.N_BANDS))})
+            SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+            FROM bands a JOIN bands b ON a.band_key = b.band_key
+            WHERE a.doc_id < b.doc_id""",
+        "txt_ngram_jaccard": f"""
+            WITH {_SHINGLES_CTE},
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+                      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT a, b,
+                   floor(i * 1.0 / (ca.n + cb.n - i) * 1000000.0) / 1000000.0
+                       AS jaccard
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+            WHERE floor(i * 1.0 / (ca.n + cb.n - i) * 1000000.0) / 1000000.0
+                  >= 0.5""",
+        "txt_bm25_topk": f"""
+            WITH {_TOKS_CTE},
+            per_doc AS (SELECT doc_id, token, count(*) AS tf
+                        FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM per_doc GROUP BY 1),
+            consts AS (SELECT (SELECT count(*) FROM documents) AS n,
+                              (SELECT avg(dl) FROM dl) AS avgdl),
+            qt AS (SELECT * FROM per_doc
+                   WHERE token IN ({", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)})),
+            dfs AS (SELECT token, count(*) AS df FROM qt GROUP BY 1),
+            scored AS (
+              SELECT qt.doc_id,
+                     ln((consts.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+                     * qt.tf * 2.2
+                     / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / consts.avgdl))
+                         AS contrib
+              FROM qt, consts
+              JOIN dfs ON qt.token = dfs.token
+              JOIN dl ON qt.doc_id = dl.doc_id)
+            SELECT doc_id, round(sum(contrib), 6) AS score
+            FROM scored GROUP BY 1
+            ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "sim_ann_cosine": """
+            WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 10),
+            n AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings),
+            el AS (SELECT q_id, n_id,
+                          unnest(qv) AS qe, unnest(nv) AS ne
+                   FROM q JOIN n ON q_id != n_id),
+            dots AS (SELECT q_id, n_id,
+                            sum(CAST(qe AS DOUBLE) * CAST(ne AS DOUBLE)) AS dot,
+                            sqrt(sum(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE)))
+                                AS nq,
+                            sqrt(sum(CAST(ne AS DOUBLE) * CAST(ne AS DOUBLE)))
+                                AS nn
+                     FROM el GROUP BY 1, 2),
+            ranked AS (SELECT q_id, n_id, dot / (nq * nn) AS c,
+                              row_number() OVER (PARTITION BY q_id
+                                  ORDER BY dot / (nq * nn) DESC, n_id ASC)
+                                  AS rank
+                       FROM dots)
+            SELECT q_id, rank, n_id, round(c, 6) AS cosine
+            FROM ranked WHERE rank <= 5""",
+        "sim_neardup": """
+            WITH el AS (SELECT a.vec_id AS a, b.vec_id AS b,
+                               unnest(a.embedding) AS ae,
+                               unnest(b.embedding) AS be
+                        FROM embeddings a JOIN embeddings b
+                        ON a.vec_id < b.vec_id),
+            dots AS (SELECT a, b,
+                            sum(CAST(ae AS DOUBLE) * CAST(be AS DOUBLE)) AS dot,
+                            sqrt(sum(CAST(ae AS DOUBLE) * CAST(ae AS DOUBLE))) AS na,
+                            sqrt(sum(CAST(be AS DOUBLE) * CAST(be AS DOUBLE))) AS nb
+                     FROM el GROUP BY 1, 2)
+            SELECT a, b, round(dot / (na * nb), 6) AS cosine
+            FROM dots WHERE dot / (na * nb) >= 0.4""",
+    }
+    # streaming op shares the batch oracle
+    sql["stream_hourly_window"] = sql["evt_hourly_window"]
+    return sql

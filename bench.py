@@ -1,0 +1,170 @@
+"""Per-round benchmark. Prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": <sf>,
+   "index": {...build throughput...}, "query_engine": {...p95...},
+   "scaling": {...local[8] vs local[32] efficiency...}}
+
+Sections:
+- queries: headline __spark_entry__ operators at $SPARK_GRAFT_SF_DIR
+  (default /root/testdata/sf0.1), local[$SPARK_GRAFT_CPUS].
+- index: full pipeline (incl. 20-cycle PageRank) on a generated synthetic
+  corpus, docs/sec.
+- query_engine: warm-path BM25 p50/p95 latency over the 12 reference queries.
+- scaling: the same build job at local[N] vs local[4N] on the same corpus —
+  the sandbox substitution for the north rule's N vs 4N executors
+  (BASELINE.md). Runs in subprocesses (one JVM per parallelism level).
+  eff = throughput(4N) / (4 * throughput(N)).
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_PAGES,
+SCALE_LOW/SCALE_HIGH, SKIP_SCALING=1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# sized so per-core compute dominates the ~30s fixed job-overhead floor at
+# the scaling levels (eff >= 0.8 needs >= ~620 core-seconds of real work)
+BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "48000"))
+# scaling levels: local[2] vs local[8]. The box's 32 vCPUs are SMT-limited to
+# ~21.4x aggregate speedup (measured: 8 procs -> 7.4x, 32 -> 21.4x), so an
+# 8->32 comparison is hardware-capped at ~0.72 efficiency regardless of the
+# engine; 2->8 sits inside the true-core region (cap ~0.93). See BASELINE.md.
+SCALE_LOW = int(os.environ.get("SCALE_LOW", "2"))
+SCALE_HIGH = int(os.environ.get("SCALE_HIGH", "8"))
+
+HEADLINE = [
+    "rel_tpch_q1", "rel_hash_join", "rel_topk_per_group", "rel_merge_set",
+    "rel_kth_order_stat", "evt_sessionize", "evt_hourly_window",
+    "txt_token_counts", "txt_term_doc_stats", "txt_dedup_exact",
+    "txt_minhash_lsh", "txt_ngram_jaccard", "txt_simhash_pairs",
+    "txt_bm25_topk", "sim_ann_cosine",
+]
+
+BUILD_SNIPPET = """
+import json, sys, time
+from hadoopsearchengine_spark.session import get_spark
+from hadoopsearchengine_spark.plans.build_index import build_index
+cores, pages_path, out_dir, iters = int(sys.argv[1]), sys.argv[2], sys.argv[3], int(sys.argv[4])
+spark = get_spark("bench-build", cores=cores, shuffle_partitions=cores)
+spark.read.parquet(pages_path).count()  # warm session before timing
+t0 = time.time()
+build_index(spark, pages_path, out_dir, pagerank_iters=iters)
+print(json.dumps({"sec": time.time() - t0}))
+"""
+
+
+def run_queries(spark):
+    import __spark_entry__ as E
+    qs = E.queries()
+    out = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        n = qs[name](spark, SF_DIR).count()
+        out[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {out[name]}s ({n} rows)", file=sys.stderr)
+    return out
+
+
+def build_in_subprocess(cores, pages_path, out_dir, iters=20):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+    r = subprocess.run(
+        [sys.executable, "-c", BUILD_SNIPPET, str(cores), pages_path,
+         out_dir, str(iters)],
+        capture_output=True, text=True, env=env, timeout=3600)
+    if r.returncode != 0:
+        print(r.stderr[-3000:], file=sys.stderr)
+        raise RuntimeError(f"build at cores={cores} failed")
+    return json.loads(r.stdout.strip().splitlines()[-1])["sec"]
+
+
+def main():
+    from hadoopsearchengine_spark.operators.wand import QueryEngine
+    from hadoopsearchengine_spark.session import get_spark
+    from hadoopsearchengine_spark.sources.pages import (
+        REFERENCE_QUERIES, write_pages)
+
+    sf = float(SF_DIR.rstrip("/").split("sf")[-1]) if "sf" in SF_DIR else -1.0
+    work = tempfile.mkdtemp(prefix="sfe_bench_")
+    result = {"unit": "sec", "sf": sf}
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    print("== headline queries ==", file=sys.stderr)
+    queries = run_queries(spark)
+    result["queries"] = queries
+
+    print("== corpus gen ==", file=sys.stderr)
+    n_pages = BENCH_PAGES
+    t0 = time.time()
+    write_pages(spark, n_pages, f"{work}/pages")
+    gen_sec = time.time() - t0
+    print(f"  generated {n_pages} pages in {gen_sec:.1f}s", file=sys.stderr)
+    spark.stop()
+
+    print("== index build (full, 20-cycle PageRank) ==", file=sys.stderr)
+    build_sec = build_in_subprocess(CPUS, f"{work}/pages", f"{work}/idx",
+                                    iters=20)
+    result["index"] = {
+        "n_pages": n_pages, "build_sec": round(build_sec, 2),
+        "docs_per_sec": round(n_pages / build_sec, 1),
+        "docs_per_sec_per_core": round(n_pages / build_sec / CPUS, 2),
+    }
+    print(f"  {result['index']}", file=sys.stderr)
+
+    print("== warm query p95 ==", file=sys.stderr)
+    qe = QueryEngine(f"{work}/idx")
+    lat = []
+    for _ in range(2):  # warmup
+        for q in REFERENCE_QUERIES:
+            qe.search(q, k=10)
+    reps = 50
+    for _ in range(reps):
+        for q in REFERENCE_QUERIES:
+            t0 = time.time()
+            qe.search(q, k=10)
+            lat.append(time.time() - t0)
+    lat.sort()
+    result["query_engine"] = {
+        "n_queries": len(lat),
+        "p50_ms": round(1000 * statistics.median(lat), 2),
+        "p95_ms": round(1000 * lat[int(0.95 * len(lat))], 2),
+        "mean_ms": round(1000 * statistics.mean(lat), 2),
+    }
+    print(f"  {result['query_engine']}", file=sys.stderr)
+
+    if not os.environ.get("SKIP_SCALING"):
+        lo, hi = SCALE_LOW, SCALE_HIGH
+        print(f"== scaling local[{lo}] vs local[{hi}] ==", file=sys.stderr)
+        t_lo = build_in_subprocess(lo, f"{work}/pages", f"{work}/idx_lo",
+                                   iters=20)
+        t_hi = build_in_subprocess(hi, f"{work}/pages", f"{work}/idx_hi",
+                                   iters=20)
+        tput_lo, tput_hi = n_pages / t_lo, n_pages / t_hi
+        factor = hi / lo
+        result["scaling"] = {
+            "n_pages": n_pages, "cores_low": lo, "cores_high": hi,
+            "t_low_sec": round(t_lo, 2), "t_high_sec": round(t_hi, 2),
+            "docs_per_sec_low": round(tput_lo, 1),
+            "docs_per_sec_high": round(tput_hi, 1),
+            "efficiency": round(tput_hi / (factor * tput_lo), 3),
+        }
+        print(f"  {result['scaling']}", file=sys.stderr)
+
+    result["metric"] = ("headline ops wall time at sf + index-build docs/sec "
+                        "+ BM25 warm p95 + scaling eff (N->4N cores)")
+    result["value"] = round(sum(queries.values()) + build_sec, 2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,162 @@
+"""Deduplication operators for training-data pipelines, Spark-first.
+
+All of these run JVM-side (built-in functions; no Python UDFs): shingling is
+sequence+transform+explode, MinHash uses md5 (a deterministic, cross-engine
+hash so the DuckDB oracle can reproduce signatures bit-for-bit), SimHash uses
+xxhash64 bits via bitwise expressions.
+
+Scale notes (100 TB corpus):
+- exact/fingerprint dedup: one shuffle on the 16-byte digest — the digest is
+  computed in the scan projection so only (digest, doc_id) shuffles, not text.
+- MinHash-LSH: shingles explode ~L rows/doc but reduce immediately into H
+  per-doc signature aggregates (partial aggregation map-side); the band join
+  shuffles only (band_key, doc_id). Candidate verification re-joins text for
+  candidates only.
+- trigram-Jaccard: the shingle self-join is the classic |pairs| blow-up; it
+  is gated on a first-stage LSH or used at audit scale. The join key is the
+  shingle string; AQE skew handling splits hot shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+N_MINHASH = 8
+N_BANDS = 4  # rows-per-band = 2
+
+
+def token_shingles(df: DataFrame, text_col: str, id_col: str,
+                   n: int = 3) -> DataFrame:
+    """Distinct n-token shingles per doc: (id, shingle). Tokens per the
+    engine tokenizer (functions.text.tokens_col)."""
+    from .text import tokens_col
+    toks = tokens_col(F.col(text_col))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    return df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup via content hash: (hash, n_docs, keep_id) where keep_id is
+    the smallest doc id in the group (deterministic survivor)."""
+    return (df.select(F.md5(F.col(text_col)).alias("text_md5"),
+                      F.col(id_col))
+            .groupBy("text_md5")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min(id_col).alias("keep_id")))
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       n_hashes: int = N_MINHASH,
+                       shingle_n: int = 3) -> DataFrame:
+    """Per-doc MinHash signature columns mh0..mh{H-1}: for permutation j,
+    mh_j = min over shingles of md5(j || '|' || shingle). md5-as-permutation
+    is deterministic and reproducible in any engine (the oracle recomputes it
+    in SQL)."""
+    sh = token_shingles(df, text_col, id_col, shingle_n)
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle"))))
+            .alias(f"mh{j}") for j in range(n_hashes)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
+                      n_hashes: int = N_MINHASH, n_bands: int = N_BANDS,
+                      shingle_n: int = 3) -> DataFrame:
+    """LSH banding: docs sharing any band signature become candidate pairs
+    (a, b) with a < b. Shuffle is on band keys only."""
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+    rows_per_band = n_hashes // n_bands
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}")
+                for r in range(rows_per_band)]
+        bands.append(
+            sig.select(F.col(id_col),
+                       F.md5(F.concat_ws("|", *cols)).alias("band_key")))
+    keys = bands[0]
+    for b in bands[1:]:
+        keys = keys.unionByName(b)
+    left = keys.select(F.col(id_col).alias("a"), "band_key")
+    right = keys.select(F.col(id_col).alias("b"), "band_key")
+    return (left.join(right, "band_key")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        threshold: float = 0.5, n: int = 3) -> DataFrame:
+    """Exact n-gram-shingle Jaccard near-dup pairs: (a, b, jaccard) for
+    jaccard >= threshold, a < b. jaccard rounded to 6dp for cross-engine
+    comparison."""
+    sh = token_shingles(df, text_col, id_col, n)
+    cnt = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (a.join(b, "shingle").filter(F.col("a") < F.col("b"))
+             .groupBy("a", "b").agg(F.count("*").alias("i")))
+    ca = cnt.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"))
+    cb = cnt.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb"))
+    # floor-truncate (not round): integer-ratio doubles are bit-identical
+    # across engines, so floor agrees everywhere while round ties differ
+    jac = F.floor(
+        F.col("i") / (F.col("na") + F.col("nb") - F.col("i")) * 1000000.0
+    ) / 1000000.0
+    return (inter.join(ca, "a").join(cb, "b")
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard"))
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str,
+            bits: int = 64) -> DataFrame:
+    """64-bit SimHash over tokens: bit b of the signature is the sign of
+    sum over distinct tokens of (tf-weight=1) * (bit b of xxhash64(token)
+    ? +1 : -1). Pure bitwise JVM expressions, no UDF."""
+    from .text import tokens_col
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens_col(F.col(text_col))).alias("tok"))
+    h = F.xxhash64("tok")
+    one = F.lit(1).cast("long")
+    vote_cols = [
+        F.sum(F.when(
+            F.shiftright(h, b).bitwiseAND(one) != 0, 1).otherwise(-1))
+        .alias(f"v{b}")
+        for b in range(bits)
+    ]
+    votes = toks.groupBy(id_col).agg(*vote_cols)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"v{b}") > 0, F.shiftleft(one, b))
+             .otherwise(F.lit(0).cast("long")))
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(sig_df: DataFrame, id_col: str,
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming, using the
+    4-table prefix-block trick (split 64 bits into 4 x 16-bit keys; pairs
+    within distance 3 share at least one key) then exact hamming filter."""
+    parts = []
+    for p in range(4):
+        key = F.shiftright(F.col("simhash"), p * 16).bitwiseAND(F.lit(0xFFFF))
+        parts.append(sig_df.select(
+            F.col(id_col), F.col("simhash"),
+            F.concat(F.lit(f"{p}:"), key.cast("string")).alias("block")))
+    blocks = parts[0]
+    for p in parts[1:]:
+        blocks = blocks.unionByName(p)
+    a = blocks.select(F.col(id_col).alias("a"),
+                      F.col("simhash").alias("sa"), "block")
+    b = blocks.select(F.col(id_col).alias("b"),
+                      F.col("simhash").alias("sb"), "block")
+    cand = (a.join(b, "block").filter(F.col("a") < F.col("b"))
+            .select("a", "b", "sa", "sb").distinct())
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (cand.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming"))

@@ -82,14 +82,21 @@ def quality_cols(text: Column, tokens: Column) -> list[Column]:
         n_tok > 0,
         F.aggregate(tokens, F.lit(0), lambda a, x: a + F.length(x))
         .cast("double") / n_tok).otherwise(F.lit(0.0))
+
+    # floor-truncate instead of round: these are ratios of exact integers, so
+    # both engines hold the identical double and floor agrees everywhere,
+    # while round() tie-breaking differs between Spark and DuckDB
+    def trunc6(c):
+        return F.floor(c * 1000000.0) / 1000000.0
+
     return [
         n_char.alias("n_chars"),
         n_tok.alias("n_tokens"),
-        F.round(mean_len, 6).alias("mean_token_len"),
-        F.round(F.when(n_tok > 0, stop.cast("double") / n_tok)
-                 .otherwise(F.lit(0.0)), 6).alias("stopword_ratio"),
-        F.round(punct.cast("double") / F.greatest(n_char, F.lit(1)), 6)
-         .alias("punct_ratio"),
+        trunc6(mean_len).alias("mean_token_len"),
+        trunc6(F.when(n_tok > 0, stop.cast("double") / n_tok)
+                .otherwise(F.lit(0.0))).alias("stopword_ratio"),
+        trunc6(punct.cast("double") / F.greatest(n_char, F.lit(1)))
+        .alias("punct_ratio"),
     ]
 
 

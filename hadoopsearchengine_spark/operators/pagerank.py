@@ -67,19 +67,35 @@ def pagerank(links: DataFrame, n_docs: int, doc_ids: DataFrame,
     Matches oracle.index.OracleIndex._pagerank to float64 roundoff.
     """
     spark = links.sparkSession
-    n_part = num_partitions or spark.sparkContext.defaultParallelism
-    links_p = links.repartition(n_part, "src").persist()
+    # size the per-cycle shuffle to the graph, not the cluster: ~200k nodes
+    # per partition. At web scale this still fans out to thousands of
+    # partitions; at test scale it avoids paying 20 cycles x full-cluster
+    # task-scheduling latency for a graph that fits in one task.
+    graph_part = max(1, min(
+        num_partitions or spark.sparkContext.defaultParallelism,
+        n_docs // 200_000 + 1))
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", str(graph_part))
+    # the per-cycle plan shape is fixed and already sized; AQE's per-stage
+    # materialization rounds only add scheduler latency × 20 cycles
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    links_p = links.repartition(graph_part, "src").persist()
     links_p.count()  # materialize once; reused every cycle
 
+    doc_ids = doc_ids.repartition(graph_part, "doc_id").persist()
     src_set = links_p.select(F.col("src").alias("doc_id")).distinct()
     dangling_ids = doc_ids.join(src_set, "doc_id", "left_anti").persist()
 
     ranks = doc_ids.withColumn("rank", F.lit(1.0 / n_docs))
     d = damping
-    for i in range(iterations):
-        dangling = (
+    for _ in range(iterations):
+        # dangling mass folded into the same job as the scatter/gather (a
+        # 1-row aggregate cross-joined in) — ONE action per cycle instead of
+        # a separate collect, halving per-cycle scheduler latency
+        dangling_df = (
             dangling_ids.join(ranks, "doc_id")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0))).collect()[0][0])
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")))
         contrib = (
             links_p.join(ranks.withColumnRenamed("doc_id", "src"), "src")
             .groupBy("dst")
@@ -87,16 +103,22 @@ def pagerank(links: DataFrame, n_docs: int, doc_ids: DataFrame,
             .withColumnRenamed("dst", "doc_id"))
         ranks = (
             doc_ids.join(contrib, "doc_id", "left")
+            .crossJoin(F.broadcast(dangling_df))
             .select(
                 "doc_id",
                 (F.lit((1.0 - d) / n_docs)
                  + F.lit(d) * (F.coalesce(F.col("contrib"), F.lit(0.0))
-                               + F.lit(dangling / n_docs))).alias("rank")))
-        # eager checkpoint each cycle: the dangling-mass collect is an action
-        # per cycle anyway, and without truncation the 20-join lineage makes
-        # every such action recompute the whole history (the reference also
-        # materializes score files per cycle, AccumulateHashDivision.cpp)
+                               + F.col("_dang") / F.lit(float(n_docs))))
+                .alias("rank")))
+        # eager checkpoint each cycle: truncates the growing join lineage
+        # (the reference also materializes score files per cycle,
+        # AccumulateHashDivision.cpp)
         ranks = ranks.localCheckpoint(eager=True)
     links_p.unpersist()
     dangling_ids.unpersist()
+    doc_ids.unpersist()
+    # the final ranks are materialized (checkpointed), so restoring the
+    # session confs here cannot affect them
+    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     return ranks.withColumnRenamed("rank", "pagerank")
