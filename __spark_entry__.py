@@ -341,6 +341,164 @@ def q_stream_hourly_window(spark, sf):
         F.col("w.start").alias("hour"), "event_type", "n", "total_value")
 
 
+
+# --------------------------------------------------------------------------
+# extended relational / graph / text operators (round-1 widening)
+# --------------------------------------------------------------------------
+
+def q_rel_rollup(spark, sf):
+    """Hierarchical rollup aggregation (grouping-set family; absent in the
+    reference — SURVEY §2.4 'no grouping sets' — provided as standard)."""
+    li = load(spark, sf, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+                    F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+                    "n", "sum_qty"))
+
+
+PIVOT_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                    "5-LOW"]
+
+
+def q_rel_pivot(spark, sf):
+    """Pivot: order counts per status x priority."""
+    o = load(spark, sf, "orders")
+    piv = (o.groupBy("o_orderstatus")
+           .pivot("o_orderpriority", PIVOT_PRIORITIES).count())
+    cols = [F.col("o_orderstatus")]
+    for i, p in enumerate(PIVOT_PRIORITIES, 1):
+        cols.append(F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(f"p{i}"))
+    return piv.select(*cols)
+
+
+def q_rel_distinct_agg(spark, sf):
+    """Distinct aggregation (absent in reference, SURVEY §2.4)."""
+    li = load(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.countDistinct("l_partkey").alias("nd_parts"),
+                 F.countDistinct("l_suppkey").alias("nd_supps"),
+                 F.count("*").alias("n")))
+
+
+def q_rel_set_ops(spark, sf):
+    """Set operators (union/intersect/except; the reference only has file
+    concatenation, SURVEY §2.4): customer keys with orders vs high-value
+    orders."""
+    o = load(spark, sf, "orders")
+    any_c = o.select(F.col("o_custkey").alias("k")).distinct()
+    big_c = (o.filter(F.col("o_totalprice") > 200000)
+             .select(F.col("o_custkey").alias("k")).distinct())
+    return (any_c.intersect(big_c).withColumn("tag", F.lit("both"))
+            .unionByName(any_c.exceptAll(big_c)
+                         .withColumn("tag", F.lit("small_only"))))
+
+
+def q_evt_asof_join(spark, sf):
+    """As-of join (operators/asof.py — applyInPandas + pd.merge_asof per
+    user): each purchase event gets the most recent click at or before it."""
+    from hadoopsearchengine_spark.operators.asof import asof_join
+    ev = load(spark, sf, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", F.col("event_id").alias("click_id")))
+    out = asof_join(purchases, clicks, on="ts", by="user_id",
+                    right_cols=["click_id"])
+    return out.select("event_id", "user_id", "click_id_asof")
+
+
+COOCCUR_WINDOW = 4  # reference scan window (DyableCommand.cpp:56)
+
+
+def q_txt_cooccur(spark, sf):
+    """CreateAssociations (reference DyableAssociations/CreateAssociations.
+    cpp:1-10): ordered term pairs co-occurring within a 4-position window,
+    top-100 by count."""
+    d = load(spark, sf, "documents")
+    pos = d.select(
+        "doc_id",
+        F.posexplode(tokens_col(F.col("text"))).alias("pos", "term"))
+    a = pos.select("doc_id", F.col("pos").alias("p1"),
+                   F.col("term").alias("t1"))
+    b = pos.select("doc_id", F.col("pos").alias("p2"),
+                   F.col("term").alias("t2"))
+    pairs = (a.join(b, "doc_id")
+             .filter((F.col("p2") > F.col("p1"))
+                     & (F.col("p2") - F.col("p1") <= COOCCUR_WINDOW)))
+    return (pairs.groupBy("t1", "t2").agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), "t1", "t2").limit(100))
+
+
+def q_txt_keywords_tfidf(spark, sf):
+    """Excerpt-keyword selection re-expressed as per-doc top-3 tf-idf terms
+    (reference keeps top N=17 keywords/excerpt, DyableCommand.cpp:42)."""
+    d = load(spark, sf, "documents")
+    n_docs = d.count()
+    per_doc = (d.select("doc_id",
+                        F.explode(tokens_col(F.col("text"))).alias("token"))
+               .groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
+    dfs = per_doc.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (per_doc.join(dfs, "token")
+              .withColumn("tfidf", F.round(
+                  F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")),
+                  6)))
+    win = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(),
+                                          F.col("token").asc())
+    return (scored.withColumn("rk", F.row_number().over(win))
+            .filter(F.col("rk") <= 3)
+            .select("doc_id", "token", "tfidf", "rk"))
+
+
+def q_txt_stem_suffixes(spark, sf):
+    """Suffix-stem flagging (reference longest-suffix match,
+    MyStuff.h:6895-6974; kernel.tokenize.stem_suffix): distribution of
+    flagged suffixes over the corpus tokens."""
+    from hadoopsearchengine_spark.kernel.tokenize import _SUFFIXES
+    d = load(spark, sf, "documents")
+    tok = d.select(F.explode(tokens_col(F.col("text"))).alias("t"))
+    expr = F.lit(None).cast("string")
+    # build the longest-match CASE chain in _SUFFIXES order
+    chain = None
+    for suf in _SUFFIXES:
+        cond = F.col("t").endswith(suf) & (F.length("t") - len(suf) >= 3)
+        chain = F.when(cond, F.lit(suf)) if chain is None else chain.when(
+            cond, F.lit(suf))
+    tok = tok.withColumn("suffix", chain)
+    return (tok.filter(F.col("suffix").isNotNull())
+            .groupBy("suffix").agg(F.count("*").alias("n")))
+
+
+PR_GRAPH_ITERS = 5
+
+
+def _pr_edges(spark, sf):
+    """Deterministic test graph from lineitem: src = supplier, dst = part
+    bucket; distinct edges, per-src weight = 1/outdeg."""
+    li = load(spark, sf, "lineitem")
+    e = (li.select(F.col("l_suppkey").alias("src"),
+                   (F.col("l_partkey") % 100 + 1).alias("dst"))
+         .distinct())
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    return e.join(deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("weight"))
+
+
+def q_graph_pagerank(spark, sf):
+    """The PulseRank iteration (reference DistributePulseScores.cpp +
+    AccumulateHashDivision.cpp, 20 cycles) as iterative DataFrame agg —
+    5 cycles here, verified against the SAME recurrence unrolled as nested
+    SQL CTEs in the DuckDB oracle (rank-exact to 1e-8 rounding)."""
+    from hadoopsearchengine_spark.operators.pagerank import pagerank
+    links = _pr_edges(spark, sf)
+    nodes = (links.select(F.col("src").alias("doc_id"))
+             .union(links.select(F.col("dst").alias("doc_id"))).distinct())
+    n = nodes.count()
+    pr = pagerank(links, n, nodes, iterations=PR_GRAPH_ITERS)
+    return pr.select(F.col("doc_id").alias("node"),
+                     F.round("pagerank", 8).alias("pagerank"))
+
 # --------------------------------------------------------------------------
 # driver surface
 # --------------------------------------------------------------------------
@@ -382,6 +540,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_neardup": q_sim_neardup,
         "mm_media_features": q_mm_media_features,
         "stream_hourly_window": q_stream_hourly_window,
+        "rel_rollup": q_rel_rollup,
+        "rel_pivot": q_rel_pivot,
+        "rel_distinct_agg": q_rel_distinct_agg,
+        "rel_set_ops": q_rel_set_ops,
+        "evt_asof_join": q_evt_asof_join,
+        "txt_cooccur": q_txt_cooccur,
+        "txt_keywords_tfidf": q_txt_keywords_tfidf,
+        "txt_stem_suffixes": q_txt_stem_suffixes,
+        "graph_pagerank": q_graph_pagerank,
     }
 
 
@@ -618,6 +785,135 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, round(dot / (na * nb), 6) AS cosine
             FROM dots WHERE dot / (na * nb) >= 0.4""",
     }
+    sql['rel_rollup'] = """
+            SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                   coalesce(l_linestatus, 'ALL') AS ls,
+                   count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
+    sql['rel_pivot'] = """
+            SELECT o_orderstatus,
+                   sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS p1,
+                   sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS p2,
+                   sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS p3,
+                   sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS p4,
+                   sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS p5
+            FROM orders GROUP BY 1"""
+    sql['rel_distinct_agg'] = """
+            SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_parts,
+                   count(DISTINCT l_suppkey) AS nd_supps, count(*) AS n
+            FROM lineitem GROUP BY 1"""
+    sql['rel_set_ops'] = """
+            WITH any_c AS (SELECT DISTINCT o_custkey AS k FROM orders),
+            big_c AS (SELECT DISTINCT o_custkey AS k FROM orders
+                      WHERE o_totalprice > 200000)
+            SELECT k, 'both' AS tag FROM (SELECT k FROM any_c INTERSECT
+                                          SELECT k FROM big_c)
+            UNION ALL
+            SELECT k, 'small_only' AS tag FROM (SELECT k FROM any_c
+                                                EXCEPT ALL
+                                                SELECT k FROM big_c)"""
+    sql['evt_asof_join'] = """
+            WITH p AS (SELECT event_id, user_id, ts AS pts FROM events
+                       WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, ts AS cts, event_id AS click_id
+                  FROM events WHERE event_type = 'click'),
+            j AS (SELECT p.event_id, p.user_id, c.click_id,
+                         row_number() OVER (PARTITION BY p.event_id
+                             ORDER BY c.cts DESC, c.click_id DESC) AS rn
+                  FROM p LEFT JOIN c ON p.user_id = c.user_id
+                                    AND c.cts <= p.pts)
+            SELECT event_id, user_id, click_id AS click_id_asof
+            FROM j WHERE rn = 1"""
+    sql['txt_cooccur'] = f"""WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            idx AS (SELECT doc_id, ts,
+                           unnest(generate_series(1, len(ts))) AS i
+                    FROM toks),
+            pos AS (SELECT doc_id, i AS p, ts[i] AS t FROM idx)
+            SELECT a.t AS t1, b.t AS t2, count(*) AS n
+            FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+                 AND b.p > a.p AND b.p - a.p <= 4
+            GROUP BY 1, 2 ORDER BY n DESC, t1, t2 LIMIT 100"""
+    sql['txt_keywords_tfidf'] = f"""WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            tok AS (SELECT doc_id, unnest(ts) AS token FROM toks),
+            per_doc AS (SELECT doc_id, token, count(*) AS tf
+                        FROM tok GROUP BY 1, 2),
+            dfs AS (SELECT token, count(*) AS df FROM per_doc GROUP BY 1),
+            nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+            scored AS (SELECT per_doc.doc_id, per_doc.token,
+                              round(per_doc.tf * ln((SELECT n FROM nd)
+                                                    / dfs.df), 6) AS tfidf
+                       FROM per_doc JOIN dfs ON per_doc.token = dfs.token)
+            SELECT doc_id, token, tfidf, rk FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY tfidf DESC, token ASC) AS rk FROM scored)
+            WHERE rk <= 3"""
+    sql['txt_stem_suffixes'] = f"""WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            tok AS (SELECT unnest(ts) AS t FROM toks),
+            flagged AS (SELECT CASE WHEN t LIKE '%ations' AND len(t) - 6 >= 3 THEN 'ations' WHEN t LIKE '%ation' AND len(t) - 5 >= 3 THEN 'ation' WHEN t LIKE '%ings' AND len(t) - 4 >= 3 THEN 'ings' WHEN t LIKE '%ingly' AND len(t) - 5 >= 3 THEN 'ingly' WHEN t LIKE '%tion' AND len(t) - 4 >= 3 THEN 'tion' WHEN t LIKE '%ment' AND len(t) - 4 >= 3 THEN 'ment' WHEN t LIKE '%ness' AND len(t) - 4 >= 3 THEN 'ness' WHEN t LIKE '%able' AND len(t) - 4 >= 3 THEN 'able' WHEN t LIKE '%ible' AND len(t) - 4 >= 3 THEN 'ible' WHEN t LIKE '%edly' AND len(t) - 4 >= 3 THEN 'edly' WHEN t LIKE '%ing' AND len(t) - 3 >= 3 THEN 'ing' WHEN t LIKE '%est' AND len(t) - 3 >= 3 THEN 'est' WHEN t LIKE '%ers' AND len(t) - 3 >= 3 THEN 'ers' WHEN t LIKE '%ies' AND len(t) - 3 >= 3 THEN 'ies' WHEN t LIKE '%ly' AND len(t) - 2 >= 3 THEN 'ly' WHEN t LIKE '%ed' AND len(t) - 2 >= 3 THEN 'ed' WHEN t LIKE '%er' AND len(t) - 2 >= 3 THEN 'er' WHEN t LIKE '%es' AND len(t) - 2 >= 3 THEN 'es' WHEN t LIKE '%s' AND len(t) - 1 >= 3 THEN 's' ELSE NULL END AS suffix FROM tok)
+            SELECT suffix, count(*) AS n FROM flagged
+            WHERE suffix IS NOT NULL GROUP BY 1"""
+    sql['graph_pagerank'] = """
+            WITH e0 AS (SELECT DISTINCT l_suppkey AS src,
+                               l_partkey % 100 + 1 AS dst FROM lineitem),
+            deg AS (SELECT src, count(*) AS outdeg FROM e0 GROUP BY 1),
+            e AS (SELECT e0.src, e0.dst, 1.0 / deg.outdeg AS weight
+                  FROM e0 JOIN deg ON e0.src = deg.src),
+            nodes AS (SELECT src AS node FROM e0
+                      UNION SELECT dst FROM e0),
+            consts AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            r0 AS (SELECT node, 1.0 / (SELECT n FROM consts) AS rank
+                   FROM nodes),
+            dang0 AS (SELECT coalesce(sum(rank), 0.0) AS d FROM r0
+                        WHERE node NOT IN (SELECT src FROM e0)),
+            c0 AS (SELECT e.dst AS node, sum(e.weight * r.rank) AS contrib
+                     FROM e JOIN r0 r ON e.src = r.node GROUP BY 1),
+            r1 AS (SELECT nodes.node,
+                       0.15000000000000002 / (SELECT n FROM consts)
+                       + 0.85 * (coalesce(c.contrib, 0.0)
+                                 + (SELECT d FROM dang0)
+                                   / (SELECT n FROM consts)) AS rank
+                       FROM nodes LEFT JOIN c0 c ON nodes.node = c.node),
+            dang1 AS (SELECT coalesce(sum(rank), 0.0) AS d FROM r1
+                        WHERE node NOT IN (SELECT src FROM e0)),
+            c1 AS (SELECT e.dst AS node, sum(e.weight * r.rank) AS contrib
+                     FROM e JOIN r1 r ON e.src = r.node GROUP BY 1),
+            r2 AS (SELECT nodes.node,
+                       0.15000000000000002 / (SELECT n FROM consts)
+                       + 0.85 * (coalesce(c.contrib, 0.0)
+                                 + (SELECT d FROM dang1)
+                                   / (SELECT n FROM consts)) AS rank
+                       FROM nodes LEFT JOIN c1 c ON nodes.node = c.node),
+            dang2 AS (SELECT coalesce(sum(rank), 0.0) AS d FROM r2
+                        WHERE node NOT IN (SELECT src FROM e0)),
+            c2 AS (SELECT e.dst AS node, sum(e.weight * r.rank) AS contrib
+                     FROM e JOIN r2 r ON e.src = r.node GROUP BY 1),
+            r3 AS (SELECT nodes.node,
+                       0.15000000000000002 / (SELECT n FROM consts)
+                       + 0.85 * (coalesce(c.contrib, 0.0)
+                                 + (SELECT d FROM dang2)
+                                   / (SELECT n FROM consts)) AS rank
+                       FROM nodes LEFT JOIN c2 c ON nodes.node = c.node),
+            dang3 AS (SELECT coalesce(sum(rank), 0.0) AS d FROM r3
+                        WHERE node NOT IN (SELECT src FROM e0)),
+            c3 AS (SELECT e.dst AS node, sum(e.weight * r.rank) AS contrib
+                     FROM e JOIN r3 r ON e.src = r.node GROUP BY 1),
+            r4 AS (SELECT nodes.node,
+                       0.15000000000000002 / (SELECT n FROM consts)
+                       + 0.85 * (coalesce(c.contrib, 0.0)
+                                 + (SELECT d FROM dang3)
+                                   / (SELECT n FROM consts)) AS rank
+                       FROM nodes LEFT JOIN c3 c ON nodes.node = c.node),
+            dang4 AS (SELECT coalesce(sum(rank), 0.0) AS d FROM r4
+                        WHERE node NOT IN (SELECT src FROM e0)),
+            c4 AS (SELECT e.dst AS node, sum(e.weight * r.rank) AS contrib
+                     FROM e JOIN r4 r ON e.src = r.node GROUP BY 1),
+            r5 AS (SELECT nodes.node,
+                       0.15000000000000002 / (SELECT n FROM consts)
+                       + 0.85 * (coalesce(c.contrib, 0.0)
+                                 + (SELECT d FROM dang4)
+                                   / (SELECT n FROM consts)) AS rank
+                       FROM nodes LEFT JOIN c4 c ON nodes.node = c.node)
+            SELECT node, round(rank, 8) AS pagerank FROM r5"""
     # streaming op shares the batch oracle
     sql["stream_hourly_window"] = sql["evt_hourly_window"]
     return sql

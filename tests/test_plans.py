@@ -1,0 +1,75 @@
+"""Physical-plan audits: the optimizations we rely on at 100 TB must be
+visible in .explain() output — predicate pushdown to parquet, column pruning,
+broadcast joins for small dims, and no row-at-a-time Python in JVM-only ops.
+(SURVEY §4: Catalyst gives these free ONLY if the plan stays declarative.)"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    """Physical plan only (the logical plans list the full relation schema,
+    which would false-positive column-pruning checks)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_posting_scan_pushes_term_filter(spark, index_dir):
+    from hadoopsearchengine_spark.operators.wand import bm25_topk_df
+    df = bm25_topk_df(spark, index_dir, "cold war", k=10)
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    # the term_id IN (...) filter must reach the parquet scan
+    assert "term_id" in plan.split("PushedFilters")[1][:400], plan[:2000]
+
+
+def test_docs_scan_prunes_columns(spark, index_dir):
+    df = spark.read.parquet(f"{index_dir}/docs").select("doc_id", "prior")
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "doc_len" not in read_schema
+    assert "url" not in read_schema
+
+
+def test_small_dim_join_broadcasts(spark):
+    import __spark_entry__ as E
+    plan = _plan(E.queries()["rel_hash_join"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_jvm_ops_have_no_python_eval(spark):
+    """Ops claimed JVM-only must not contain Python evals in the plan."""
+    import __spark_entry__ as E
+    qs = E.queries()
+    jvm_only = ["rel_tpch_q1", "rel_topk_per_group", "rel_merge_set",
+                "txt_token_counts", "txt_dedup_exact", "txt_langid",
+                "txt_quality", "txt_minhash_sig", "txt_simhash",
+                "sim_ann_cosine", "txt_ngram_jaccard"]
+    for name in jvm_only:
+        plan = _plan(qs[name](spark, SF))
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas",
+                       "MapInPandas"):
+            assert marker not in plan, (name, marker)
+
+
+def test_wholestage_codegen_present(spark):
+    import __spark_entry__ as E
+    df = E.queries()["rel_tpch_q1"](spark, SF)
+    df.collect()  # AQE: codegen markers appear in the finalized plan
+    plan = _plan(df)
+    # codegen'd operators print with a *(n) prefix
+    assert "WholeStageCodegen" in plan or "*(" in plan, plan[:1500]
+
+
+def test_filter_pushdown_on_source_tables(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = (li.filter(F.col("l_shipdate") <= "1996-01-01")
+          .select("l_orderkey", "l_quantity"))
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "l_shipdate" in pushed
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "l_extendedprice" not in read_schema
