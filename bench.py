@@ -59,9 +59,14 @@ cores, pages_path, out_dir, iters = int(sys.argv[1]), sys.argv[2], sys.argv[3], 
 spark = get_spark("bench-build", cores=cores, shuffle_partitions=cores)
 spark.read.parquet(pages_path).count()  # warm session before timing
 t0 = time.time()
-build_index(spark, pages_path, out_dir, pagerank_iters=iters)
-print(json.dumps({"sec": time.time() - t0}))
+res = build_index(spark, pages_path, out_dir, pagerank_iters=iters)
+print(json.dumps({"sec": time.time() - t0, "stage_sec": res["stage_sec"]}))
 """
+
+# the embarrassingly-parallel indexing stages (no serial section, no
+# iteration-latency floor) — reported separately so the Amdahl decomposition
+# of scaling efficiency is visible (BENCH/BASELINE.md)
+PARALLEL_STAGES = ("extracted", "doc_terms", "terms", "postings")
 
 
 def run_queries(spark):
@@ -86,7 +91,7 @@ def build_in_subprocess(cores, pages_path, out_dir, iters=20):
     if r.returncode != 0:
         print(r.stderr[-3000:], file=sys.stderr)
         raise RuntimeError(f"build at cores={cores} failed")
-    return json.loads(r.stdout.strip().splitlines()[-1])["sec"]
+    return json.loads(r.stdout.strip().splitlines()[-1])
 
 
 def main():
@@ -113,12 +118,13 @@ def main():
     spark.stop()
 
     print("== index build (full, 20-cycle PageRank) ==", file=sys.stderr)
-    build_sec = build_in_subprocess(CPUS, f"{work}/pages", f"{work}/idx",
-                                    iters=20)
+    full = build_in_subprocess(CPUS, f"{work}/pages", f"{work}/idx", iters=20)
+    build_sec = full["sec"]
     result["index"] = {
         "n_pages": n_pages, "build_sec": round(build_sec, 2),
         "docs_per_sec": round(n_pages / build_sec, 1),
         "docs_per_sec_per_core": round(n_pages / build_sec / CPUS, 2),
+        "stage_sec": full["stage_sec"],
     }
     print(f"  {result['index']}", file=sys.stderr)
 
@@ -146,10 +152,13 @@ def main():
     if not os.environ.get("SKIP_SCALING"):
         lo, hi = SCALE_LOW, SCALE_HIGH
         print(f"== scaling local[{lo}] vs local[{hi}] ==", file=sys.stderr)
-        t_lo = build_in_subprocess(lo, f"{work}/pages", f"{work}/idx_lo",
+        r_lo = build_in_subprocess(lo, f"{work}/pages", f"{work}/idx_lo",
                                    iters=20)
-        t_hi = build_in_subprocess(hi, f"{work}/pages", f"{work}/idx_hi",
+        r_hi = build_in_subprocess(hi, f"{work}/pages", f"{work}/idx_hi",
                                    iters=20)
+        t_lo, t_hi = r_lo["sec"], r_hi["sec"]
+        p_lo = sum(r_lo["stage_sec"].get(s, 0.0) for s in PARALLEL_STAGES)
+        p_hi = sum(r_hi["stage_sec"].get(s, 0.0) for s in PARALLEL_STAGES)
         tput_lo, tput_hi = n_pages / t_lo, n_pages / t_hi
         factor = hi / lo
         result["scaling"] = {
@@ -158,6 +167,12 @@ def main():
             "docs_per_sec_low": round(tput_lo, 1),
             "docs_per_sec_high": round(tput_hi, 1),
             "efficiency": round(tput_hi / (factor * tput_lo), 3),
+            "parallel_stages_low_sec": round(p_lo, 2),
+            "parallel_stages_high_sec": round(p_hi, 2),
+            "parallel_stages_efficiency": round(
+                (n_pages / p_hi) / (factor * n_pages / p_lo), 3),
+            "stage_sec_low": r_lo["stage_sec"],
+            "stage_sec_high": r_hi["stage_sec"],
         }
         print(f"  {result['scaling']}", file=sys.stderr)
 

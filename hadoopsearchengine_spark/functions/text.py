@@ -24,9 +24,14 @@ STOPWORDS = (
 
 
 def tokens_col(c: Column) -> Column:
-    """Kernel tokenizer as a JVM expression: maximal [a-z0-9]+ runs of the
-    lowercased text, length in [2,16], all-digit tokens only if 4-5 digits."""
-    toks = F.regexp_extract_all(F.lower(c), F.lit("[a-z0-9]+"), 0)
+    """Kernel tokenizer as a JVM expression: maximal [A-Za-z0-9]+ runs of the
+    RAW text, each token lowercased, length in [2,16], all-digit tokens only
+    if 4-5 digits. Extract-then-lower (not lower-then-extract) to match
+    kernel.tokenize exactly: lowercasing first can change token boundaries
+    for characters like 'İ' whose lowercase is 'i' + a combining mark."""
+    toks = F.transform(
+        F.regexp_extract_all(c, F.lit("[A-Za-z0-9]+"), 0),
+        lambda x: F.lower(x))
     return F.filter(
         toks,
         lambda x: F.length(x).between(2, 16)
@@ -35,9 +40,11 @@ def tokens_col(c: Column) -> Column:
 
 
 def tokens_sql(col: str = "text") -> str:
-    """The same tokenizer as DuckDB SQL (oracle side)."""
+    """The same tokenizer as DuckDB SQL (oracle side); extract-then-lower,
+    see tokens_col."""
     return (
-        f"list_filter(regexp_extract_all(lower({col}), '[a-z0-9]+'), "
+        f"list_filter(list_transform(regexp_extract_all({col}, "
+        "'[A-Za-z0-9]+'), t -> lower(t)), "
         "t -> len(t) between 2 and 16 and "
         "(not regexp_matches(t, '^[0-9]+$') or len(t) between 4 and 5))"
     )

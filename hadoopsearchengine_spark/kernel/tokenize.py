@@ -48,12 +48,20 @@ def keep_token(tok: str) -> bool:
 
 
 def tokenize(text: str) -> list[str]:
-    """text -> kept, lowercased tokens in document order."""
+    """text -> kept, lowercased tokens in document order.
+
+    (findall + inlined filter: this is the hot path of the whole index
+    build — semantics identical to keep_token over each lowered match.)"""
     out = []
-    for m in TOKEN_RE.finditer(text):
-        tok = m.group(0).lower()
-        if keep_token(tok):
-            out.append(tok)
+    append = out.append
+    for tok in TOKEN_RE.findall(text):
+        n = len(tok)
+        if n < 2 or n > 16:
+            continue
+        tok = tok.lower()
+        if tok.isdigit() and not (4 <= n <= 5):
+            continue
+        append(tok)
     return out
 
 

@@ -67,13 +67,15 @@ def pagerank(links: DataFrame, n_docs: int, doc_ids: DataFrame,
     Matches oracle.index.OracleIndex._pagerank to float64 roundoff.
     """
     spark = links.sparkSession
-    # size the per-cycle shuffle to the graph, not the cluster: ~200k nodes
-    # per partition. At web scale this still fans out to thousands of
-    # partitions; at test scale it avoids paying 20 cycles x full-cluster
-    # task-scheduling latency for a graph that fits in one task.
+    # size the per-cycle shuffle to the graph (edges, not nodes): ~50k edges
+    # per partition, capped at the cluster parallelism. At web scale this
+    # fans out to thousands of partitions; at test scale it avoids paying
+    # 20 cycles x full-cluster task-scheduling latency for a tiny graph —
+    # while never collapsing a real graph into a serial Amdahl section.
+    n_edges = links.count()
     graph_part = max(1, min(
         num_partitions or spark.sparkContext.defaultParallelism,
-        n_docs // 200_000 + 1))
+        n_edges // 50_000 + 1))
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", str(graph_part))

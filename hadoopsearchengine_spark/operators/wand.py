@@ -34,9 +34,20 @@ from ..kernel.tokenize import tokenize
 
 
 class QueryEngine:
-    """Warm local query path over a built index directory."""
+    """Warm local query path over a built index directory.
 
-    def __init__(self, index_dir: str):
+    preload=True (default) pins the posting-block table in memory at init
+    with a term_id -> row-range index — the moral equivalent of the
+    reference's in-memory lookup tables + decompressed-block cache
+    (DyableRequest/WordDivision.h:133-160, CompBlockCache.h). preload=False
+    falls back to per-query parquet reads with term_id predicate pushdown
+    (for indexes larger than RAM; at web scale this tier is sharded by
+    term_id % N across query servers, each shard preloading its slice)."""
+
+    _BLOCK_COLS = ["term_id", "block_no", "min_doc", "max_doc", "n_docs",
+                   "max_score", "doc_gaps", "tfs"]
+
+    def __init__(self, index_dir: str, preload: bool = True):
         import pyarrow.parquet as pq
         self.index_dir = index_dir
         t = pq.read_table(f"{index_dir}/terms").to_pandas()
@@ -50,14 +61,33 @@ class QueryEngine:
         self.prior[d["doc_id"].to_numpy()] = d["prior"].to_numpy()
         s = pq.read_table(f"{index_dir}/stats").to_pylist()[0]
         self.n_docs, self.avgdl = int(s["n_docs"]), float(s["avgdl"])
+        self._blocks = None
+        if preload:
+            tbl = pq.read_table(f"{self.index_dir}/postings",
+                                columns=self._BLOCK_COLS).to_pandas()
+            tbl.sort_values(["term_id", "block_no"], kind="mergesort",
+                            inplace=True, ignore_index=True)
+            self._blocks = tbl
+            tids = tbl["term_id"].to_numpy()
+            starts = np.flatnonzero(np.diff(tids, prepend=-1))
+            ends = np.append(starts[1:], len(tids))
+            self._ranges = {int(tids[s]): (int(s), int(e))
+                            for s, e in zip(starts, ends)}
 
     def _load_blocks(self, term_ids: list[int]):
+        if self._blocks is not None:
+            import pandas as pd
+            parts = [self._blocks.iloc[s:e]
+                     for s, e in (self._ranges[t] for t in term_ids
+                                  if t in self._ranges)]
+            if not parts:
+                return self._blocks.iloc[0:0]
+            return pd.concat(parts, ignore_index=True)
         import pyarrow.parquet as pq
         tbl = pq.read_table(
             f"{self.index_dir}/postings",
             filters=[("term_id", "in", term_ids)],
-            columns=["term_id", "block_no", "min_doc", "max_doc", "n_docs",
-                     "max_score", "doc_gaps", "tfs"])
+            columns=self._BLOCK_COLS)
         return tbl.to_pandas()
 
     def search(self, query: str, k: int = 10,

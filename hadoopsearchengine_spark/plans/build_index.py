@@ -110,14 +110,21 @@ def _build_blocks(pdf: pd.DataFrame, block_docs: int) -> pd.DataFrame:
         "doc_gaps", "tfs", "positions"])
 
 
+STAGE_TIMINGS: dict[str, float] = {}  # wall seconds of the last run's stages
+
+
 def _stage(m: Manifest, name: str, input_ref: str, out_path: str,
            write_fn, resume: bool) -> str:
     """Run one stage unless the manifest proves it already completed with the
     same inputs. Returns the output path."""
+    import time as _time
     ref = fingerprint(name, input_ref)
     if resume and m.completed(name, ref):
+        STAGE_TIMINGS[name] = 0.0
         return out_path
+    t0 = _time.time()
     rows = write_fn(out_path)
+    STAGE_TIMINGS[name] = round(_time.time() - t0, 2)
     m.record(name, ref, out_path, rows)
     return out_path
 
@@ -176,6 +183,23 @@ def build_index(spark, pages: DataFrame | str, index_dir: str, *,
         df.write.mode("overwrite").parquet(out)
         return n_pages
     _stage(m, "doc_terms", base_ref, paths["doc_terms"], w_doc_terms, resume)
+
+    return _finish_index(spark, m, base_ref, paths, n_pages,
+                         block_docs=block_docs,
+                         head_df_threshold=head_df_threshold,
+                         n_buckets=n_buckets, pagerank_iters=pagerank_iters,
+                         resume=resume)
+
+
+def _finish_index(spark, m: Manifest, base_ref: str, paths: dict,
+                  n_pages: int, *, block_docs: int, head_df_threshold: int,
+                  n_buckets: int, pagerank_iters: int, resume: bool) -> dict:
+    """Stages downstream of (docs_ids, extracted, doc_terms) — shared by the
+    fresh build and by merge_indexes (which supplies re-keyed shard outputs
+    for the first three stages instead of re-running extraction)."""
+    p = spark.sparkContext.defaultParallelism
+    docs_ids = spark.read.parquet(paths["docs_ids"])
+    extracted = spark.read.parquet(paths["extracted"])
     doc_terms = spark.read.parquet(paths["doc_terms"])
 
     # -- terms: dictionary + df/cf + dense ids ------------------------------
@@ -272,4 +296,4 @@ def build_index(spark, pages: DataFrame | str, index_dir: str, *,
     _stage(m, "postings", base_ref, paths["postings"], w_postings, resume)
 
     return {"paths": paths, "n_docs": n_docs, "avgdl": avgdl,
-            "manifest": m.rows()}
+            "stage_sec": dict(STAGE_TIMINGS), "manifest": m.rows()}
