@@ -470,6 +470,32 @@ def q_txt_stem_suffixes(spark, sf):
             .groupBy("suffix").agg(F.count("*").alias("n")))
 
 
+WINNOW_K = 8   # char-gram length
+WINNOW_W = 4   # winnowing window
+
+
+def q_txt_winnow_fp(spark, sf):
+    """Document fingerprinting by winnowing (the rolling-hash fingerprint
+    family; Schleimer/Wilkerson/Aiken's MOSS scheme): hash every K-char gram,
+    keep the minimum hash of each W-gram window, emit the distinct selected
+    fingerprints per doc. All JVM-side: sequence+substr for grams, md5 as the
+    gram hash, a sliding window min, distinct."""
+    d = load(spark, sf, "documents")
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1),
+                           F.greatest(F.length("text") - (WINNOW_K - 1),
+                                      F.lit(0))),
+                lambda i: F.md5(F.col("text").substr(i, F.lit(WINNOW_K))),
+            )).alias("pos", "h"))
+    win = (W.partitionBy("doc_id").orderBy("pos")
+           .rowsBetween(0, WINNOW_W - 1))
+    return (grams.withColumn("fp", F.min("h").over(win))
+            .select("doc_id", "fp").distinct())
+
+
 PR_GRAPH_ITERS = 5
 
 
@@ -549,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_keywords_tfidf": q_txt_keywords_tfidf,
         "txt_stem_suffixes": q_txt_stem_suffixes,
         "graph_pagerank": q_graph_pagerank,
+        "txt_winnow_fp": q_txt_winnow_fp,
     }
 
 
@@ -914,6 +941,20 @@ def oracle_sql() -> dict[str, str]:
                                    / (SELECT n FROM consts)) AS rank
                        FROM nodes LEFT JOIN c4 c ON nodes.node = c.node)
             SELECT node, round(rank, 8) AS pagerank FROM r5"""
+    sql['txt_winnow_fp'] = """
+            WITH grams AS (
+              SELECT doc_id, i,
+                     md5(substr(text, i, 8)) AS h
+              FROM documents,
+                   (SELECT unnest(generate_series(1, 100000)) AS i) s
+              WHERE i <= greatest(len(text) - 7, 0)),
+            winnowed AS (
+              SELECT doc_id,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                         AS fp
+              FROM grams)
+            SELECT DISTINCT doc_id, fp FROM winnowed"""
     # streaming op shares the batch oracle
     sql["stream_hourly_window"] = sql["evt_hourly_window"]
     return sql

@@ -57,3 +57,56 @@ def extract_media_features(df: DataFrame, media_col: str, id_col: str,
 
     return df.select(id_col, media_col).mapInPandas(
         run, schema=FEATURES_SCHEMA)
+
+
+def resize_images(df: DataFrame, media_col: str, id_col: str,
+                  out_w: int = 64, out_h: int = 64,
+                  fake: bool = True) -> DataFrame:
+    """Resize plumbing: (id, binary) -> (id, out_w, out_h, thumb binary).
+    The resample itself is STUBBED (deterministic byte-fold of the payload
+    into out_w*out_h bytes) — swap for PIL in a real deployment; schema,
+    batching and output contract are real."""
+    import numpy as np
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[media_col]):
+                if not fake:
+                    raise NotImplementedError("image resample needs PIL")
+                raw = np.frombuffer(bytes(payload) or b"\0", dtype=np.uint8)
+                n = out_w * out_h
+                reps = int(np.ceil(n / max(len(raw), 1)))
+                thumb = np.tile(raw, reps)[:n]
+                rows.append((int(mid), out_w, out_h, thumb.tobytes()))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "out_w", "out_h", "thumb"])
+
+    return df.select(id_col, media_col).mapInPandas(
+        run, schema="media_id long, out_w int, out_h int, thumb binary")
+
+
+def sample_frames(df: DataFrame, media_col: str, id_col: str,
+                  n_frames: int = 4, fake: bool = True) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: (id, binary) ->
+    one row per sampled frame (id, frame_no, offset, frame binary). The
+    decoder is STUBBED: 'frames' are evenly-spaced 256-byte slices —
+    swap for libav in a real deployment."""
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[media_col]):
+                if not fake:
+                    raise NotImplementedError("video decode needs libav")
+                raw = bytes(payload)
+                if not raw:
+                    continue
+                step = max(len(raw) // n_frames, 1)
+                for f in range(min(n_frames, len(raw))):
+                    off = f * step
+                    rows.append((int(mid), f, off, raw[off:off + 256]))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_no", "offset", "frame"])
+
+    return df.select(id_col, media_col).mapInPandas(
+        run, schema="media_id long, frame_no int, offset long, frame binary")

@@ -66,18 +66,28 @@ def _extract_batches(iterator):
 
 
 def _doc_terms_batches(iterator):
-    """(doc_id, text) -> one row per (doc, term): tf + positions."""
+    """(doc_id, text) -> one row per (doc, term): tf + positions.
+
+    Vectorized grouping: after the tokenize kernel, term grouping is
+    pd.factorize + stable argsort + split — no per-token Python loop (this
+    stage is the largest single cost of the build). Semantics identical to
+    the dict-append formulation: first-occurrence term order is NOT promised
+    (downstream is order-insensitive), positions ascend within each term."""
     for pdf in iterator:
         out_doc, out_term, out_tf, out_pos = [], [], [], []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            per_term: dict[str, list[int]] = {}
-            for pos, t in enumerate(tokenize(text)):
-                per_term.setdefault(t, []).append(pos)
-            for t, positions in per_term.items():
-                out_doc.append(doc_id)
-                out_term.append(t)
-                out_tf.append(len(positions))
-                out_pos.append(positions)
+            toks = tokenize(text)
+            if not toks:
+                continue
+            codes, uniques = pd.factorize(np.asarray(toks, dtype=object))
+            order = np.argsort(codes, kind="stable")
+            positions = order.astype(np.int64)  # positions = token indexes
+            counts = np.bincount(codes, minlength=len(uniques))
+            splits = np.split(positions, np.cumsum(counts)[:-1])
+            out_doc.extend([doc_id] * len(uniques))
+            out_term.extend(uniques)
+            out_tf.extend(counts.tolist())
+            out_pos.extend(splits)
         yield pd.DataFrame({"doc_id": out_doc, "term": out_term,
                             "tf": out_tf, "positions": out_pos})
 

@@ -91,3 +91,40 @@ def incremental_index(spark, pages_dir: str, out_dir: str,
 def read_all_deltas(spark, out_dir: str) -> DataFrame:
     """Union all delta batches (the compactor's input)."""
     return spark.read.parquet(f"{out_dir}/delta_doc_terms/batch=*")
+
+
+def stream_user_counters(spark, events_dir: str, query_name: str,
+                         files_per_trigger: int = 1):
+    """Custom stateful streaming operator via applyInPandasWithState: a
+    running (n_events, total_value) counter per user, updated each
+    micro-batch, state carried across batches (the applyInPandasWithState
+    tier from the brief's custom-stateful-operator ladder).
+
+    Returns the StreamingQuery (memory sink, update mode); final state per
+    user equals the batch groupBy aggregate (tested)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+    def update(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, float(total)))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_value": [total]})
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", files_per_trigger)
+              .parquet(events_dir))
+    out = (stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout))
+    return (out.writeStream.outputMode("update")
+            .format("memory").queryName(query_name).start())

@@ -85,3 +85,51 @@ def test_incremental_index_deltas(spark, workdir, stream_pages):
     for pos, t in enumerate(tokenize(sample["text"])):
         per_term.setdefault(t, []).append(pos)
     assert {r["term"]: list(r["positions"]) for r in rows} == per_term
+
+
+def test_stateful_user_counters(spark, workdir):
+    """applyInPandasWithState running counters: final state per user must
+    equal the batch aggregate even when events arrive over 5 micro-batches."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from hadoopsearchengine_spark.streaming.incremental import (
+        stream_user_counters)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.repartition(5).write.mode("overwrite").parquet(f"{workdir}/ev5")
+    q = stream_user_counters(spark, f"{workdir}/ev5", "uc_pytest",
+                             files_per_trigger=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    raw = spark.sql("SELECT * FROM uc_pytest").toPandas()
+    final = raw.sort_values("n_events").groupby("user_id").last().sort_index()
+    want = (ev.groupBy("user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("value").alias("total_value"))
+            .toPandas().set_index("user_id").sort_index())
+    assert (final["n_events"] == want["n_events"]).all()
+    np.testing.assert_allclose(final["total_value"], want["total_value"],
+                               atol=1e-9)
+    # state really crossed batches: more update rows than users
+    assert len(raw) > len(final)
+
+
+def test_multimodal_resize_and_frames(spark):
+    from hadoopsearchengine_spark.functions.multimodal import (
+        resize_images, sample_frames)
+    df = spark.createDataFrame(
+        [(1, bytes(range(200))), (2, b"xy")],
+        "doc_id long, payload binary")
+    thumbs = {r["media_id"]: r for r in
+              resize_images(df, "payload", "doc_id", out_w=8,
+                            out_h=8).collect()}
+    assert len(bytes(thumbs[1]["thumb"])) == 64
+    assert len(bytes(thumbs[2]["thumb"])) == 64  # short payload tiled
+    assert bytes(thumbs[1]["thumb"])[:10] == bytes(range(10))
+    frames = [r for r in sample_frames(df, "payload", "doc_id",
+                                       n_frames=4).collect()
+              if r["media_id"] == 1]
+    assert [f["frame_no"] for f in frames] == [0, 1, 2, 3]
+    assert frames[1]["offset"] == 50
+    assert bytes(frames[1]["frame"])[0] == 50
