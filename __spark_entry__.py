@@ -496,6 +496,34 @@ def q_txt_winnow_fp(spark, sf):
             .select("doc_id", "fp").distinct())
 
 
+PHRASE = ["table", "hash"]  # a frequent bigram in the documents corpus
+
+
+def q_txt_phrase_match(spark, sf):
+    """Exact phrase match via stored positions (the positional-index payoff;
+    the reference's proximity runs, HitScore.h:228-233, generalize this):
+    docs containing the bigram PHRASE with its occurrence count."""
+    d = load(spark, sf, "documents")
+    pos = d.select(
+        "doc_id",
+        F.posexplode(tokens_col(F.col("text"))).alias("pos", "term"))
+    a = pos.filter(F.col("term") == PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("p1"))
+    b = pos.filter(F.col("term") == PHRASE[1]).select(
+        "doc_id", F.col("pos").alias("p2"))
+    return (a.join(b, "doc_id")
+            .filter(F.col("p2") == F.col("p1") + 1)
+            .groupBy("doc_id").agg(F.count("*").alias("n_occurrences")))
+
+
+def q_sim_ann_ivf(spark, sf):
+    """IVF-cell approximate cosine top-5 (rows-only: kmeans cells are not
+    SQL-expressible; recall vs the exact op is asserted in tests/)."""
+    emb = load(spark, sf, "embeddings")
+    return similarity.cosine_topk_ivf(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5)
+
+
 PR_GRAPH_ITERS = 5
 
 
@@ -576,6 +604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_stem_suffixes": q_txt_stem_suffixes,
         "graph_pagerank": q_graph_pagerank,
         "txt_winnow_fp": q_txt_winnow_fp,
+        "txt_phrase_match": q_txt_phrase_match,
+        "sim_ann_ivf": q_sim_ann_ivf,
     }
 
 
@@ -955,6 +985,16 @@ def oracle_sql() -> dict[str, str]:
                          AS fp
               FROM grams)
             SELECT DISTINCT doc_id, fp FROM winnowed"""
+    sql['txt_phrase_match'] = f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            idx AS (SELECT doc_id, ts,
+                           unnest(generate_series(1, greatest(len(ts)-1, 0)))
+                               AS i
+                    FROM toks)
+            SELECT doc_id, count(*) AS n_occurrences
+            FROM idx
+            WHERE ts[i] = 'table' AND ts[i+1] = 'hash'
+            GROUP BY 1"""
     # streaming op shares the batch oracle
     sql["stream_hourly_window"] = sql["evt_hourly_window"]
     return sql

@@ -46,9 +46,10 @@ SCALE_HIGH = int(os.environ.get("SCALE_HIGH", "8"))
 HEADLINE = [
     "rel_tpch_q1", "rel_hash_join", "rel_topk_per_group", "rel_merge_set",
     "rel_kth_order_stat", "evt_sessionize", "evt_hourly_window",
-    "txt_token_counts", "txt_term_doc_stats", "txt_dedup_exact",
-    "txt_minhash_lsh", "txt_ngram_jaccard", "txt_simhash_pairs",
-    "txt_bm25_topk", "sim_ann_cosine",
+    "evt_asof_join", "txt_token_counts", "txt_term_doc_stats",
+    "txt_dedup_exact", "txt_minhash_lsh", "txt_ngram_jaccard",
+    "txt_simhash_pairs", "txt_cooccur", "txt_phrase_match", "txt_bm25_topk",
+    "sim_ann_cosine", "graph_pagerank",
 ]
 
 BUILD_SNIPPET = """

@@ -109,3 +109,79 @@ def cosine_topk_lsh(vectors: DataFrame, queries: DataFrame, dim: int,
             .filter(F.col("rank") <= k)
             .select("q_id", "rank", "n_id",
                     F.round("cosine", round_to).alias("cosine")))
+
+
+def cosine_topk_ivf(vectors: DataFrame, queries: DataFrame, dim: int,
+                    k: int = 5, n_cells: int = 16, n_probe: int = 4,
+                    kmeans_iters: int = 5, seed: int = 42,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    round_to: int = 6) -> DataFrame:
+    """IVF-style approximate top-k: vectors are partitioned into ``n_cells``
+    Voronoi cells (deterministic mini-kmeans on a seeded driver-side sample —
+    at 100 TB the sample is a tiny `.sample()` collect, the assignment stays
+    distributed); each query probes its ``n_probe`` nearest cells and scores
+    exactly within them. The standard recall/candidate dial alongside the
+    hyperplane-LSH variant.
+
+    Deterministic: fixed sample, fixed init (first distinct sample rows),
+    fixed Lloyd iteration count."""
+    import numpy as np
+    import pandas as pd
+
+    sample = np.array(
+        [np.asarray(r[vec_col], dtype=np.float64)
+         for r in vectors.select(vec_col).limit(4096).collect()])
+    rng = np.random.Generator(np.random.PCG64(seed))
+    idx = rng.permutation(len(sample))[:n_cells]
+    cents = sample[idx].copy()
+    for _ in range(kmeans_iters):
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    spark = vectors.sparkSession
+    b_cents = spark.sparkContext.broadcast(cents)
+
+    def assign_cells(batches):
+        for pdf in batches:
+            vs = np.stack([np.asarray(v, dtype=np.float64)
+                           for v in pdf[vec_col]])
+            d2 = ((vs[:, None, :] - b_cents.value[None, :, :]) ** 2).sum(2)
+            out = pd.DataFrame({
+                "n_id": pdf[id_col].to_numpy(),
+                "cell": d2.argmin(axis=1).astype("int32")})
+            out["n_vec"] = list(pdf[vec_col])
+            yield out
+
+    cells = vectors.mapInPandas(
+        assign_cells, schema=f"n_id long, cell int, n_vec array<float>")
+
+    def probe_cells(batches):
+        for pdf in batches:
+            vs = np.stack([np.asarray(v, dtype=np.float64)
+                           for v in pdf[vec_col]])
+            d2 = ((vs[:, None, :] - b_cents.value[None, :, :]) ** 2).sum(2)
+            near = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+            rows = {"q_id": np.repeat(pdf[id_col].to_numpy(), n_probe),
+                    "cell": near.reshape(-1).astype("int32")}
+            out = pd.DataFrame(rows)
+            out["q_vec"] = [v for v in pdf[vec_col]
+                            for _ in range(n_probe)]
+            yield out
+
+    probes = queries.mapInPandas(
+        probe_cells, schema="q_id long, cell int, q_vec array<float>")
+
+    pairs = (cells.join(F.broadcast(probes), "cell")
+             .filter(F.col("q_id") != F.col("n_id"))
+             .withColumn("cosine",
+                         _dot(F.col("q_vec"), F.col("n_vec"))
+                         / (_norm(F.col("q_vec")) * _norm(F.col("n_vec")))))
+    win = W.partitionBy("q_id").orderBy(F.col("cosine").desc(),
+                                        F.col("n_id").asc())
+    return (pairs.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "rank", "n_id",
+                    F.round("cosine", round_to).alias("cosine")))

@@ -8,12 +8,16 @@ Two pieces:
 
 - ``incremental_index``: foreachBatch-based index-delta maintenance: each
   micro-batch of new pages runs the SAME deterministic kernels (extract +
-  tokenize) and appends per-batch posting deltas (term, doc_id, tf) plus a
-  doc-stats delta to parquet sinks. A compaction job (``compact_deltas``)
-  folds deltas into full posting blocks by re-running the block builder —
-  mirroring the reference's re-run-over-new-doc-sets incremental model, but
-  with exactly-once micro-batch semantics (checkpointLocation + idempotent
-  batch writes keyed by batchId).
+  tokenize) and appends per-batch posting deltas (url, term, tf, positions)
+  plus a doc-stats delta to parquet sinks. Compaction = build a shard index
+  from the accumulated deltas, then ``plans.merge_index.merge_indexes`` folds
+  it into the serving index — mirroring the reference's
+  re-run-over-new-doc-sets incremental model (DocumentDatabase.h:1-16) with
+  exactly-once micro-batch semantics (checkpointLocation + idempotent batch
+  writes keyed by batchId).
+
+- ``stream_user_counters``: custom stateful operator via
+  applyInPandasWithState (running per-key aggregates across micro-batches).
 
 At scale: the delta sink is append-only parquet partitioned by batch; the
 compactor is the batch posting builder restricted to dirty terms (terms

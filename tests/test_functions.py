@@ -124,3 +124,23 @@ def test_multimodal_stub(spark):
     # the non-fake path must refuse loudly (decode libs absent here)
     with pytest.raises(Exception, match="NotImplementedError|media decode"):
         extract_media_features(df, "payload", "doc_id", fake=False).collect()
+
+
+def test_ivf_ann_recall(spark):
+    from pyspark.sql import functions as F
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, q, k=5).collect()
+    ivf = similarity.cosine_topk_ivf(emb, q, dim=64, k=5).collect()
+    exact_set = {(r["q_id"], r["n_id"]) for r in exact}
+    ivf_set = {(r["q_id"], r["n_id"]) for r in ivf}
+    recall = len(exact_set & ivf_set) / len(exact_set)
+    assert recall >= 0.3, recall  # 4/16 cells probed
+    exact_scores = {(r["q_id"], r["n_id"]): r["cosine"] for r in exact}
+    for r in ivf:
+        key = (r["q_id"], r["n_id"])
+        if key in exact_scores:
+            assert abs(r["cosine"] - exact_scores[key]) < 1e-9
+    # determinism: second run identical
+    ivf2 = similarity.cosine_topk_ivf(emb, q, dim=64, k=5).collect()
+    assert sorted(map(tuple, ivf)) == sorted(map(tuple, ivf2))
