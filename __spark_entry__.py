@@ -524,6 +524,24 @@ def q_sim_ann_ivf(spark, sf):
         emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5)
 
 
+def q_src_json_roundtrip(spark, sf):
+    """Source-format coverage (the reference reads only its own binary
+    framing, SURVEY §2.4 — CSV/JSON/ORC come free in Spark): events written
+    to JSON-lines and read back with an explicit schema must aggregate
+    identically to the parquet original."""
+    import tempfile
+    ev = load(spark, sf, "events")
+    out = tempfile.mkdtemp(prefix="sfe_json_")
+    (ev.select("event_id", "user_id", "event_type", "value")
+     .write.mode("overwrite").json(out))
+    back = spark.read.schema(
+        "event_id long, user_id long, event_type string, value double"
+    ).json(out)
+    return (back.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("total_value")))
+
+
 PR_GRAPH_ITERS = 5
 
 
@@ -606,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_winnow_fp": q_txt_winnow_fp,
         "txt_phrase_match": q_txt_phrase_match,
         "sim_ann_ivf": q_sim_ann_ivf,
+        "src_json_roundtrip": q_src_json_roundtrip,
     }
 
 
@@ -995,6 +1014,10 @@ def oracle_sql() -> dict[str, str]:
             FROM idx
             WHERE ts[i] = 'table' AND ts[i+1] = 'hash'
             GROUP BY 1"""
+    sql['src_json_roundtrip'] = """
+            SELECT event_type, count(*) AS n,
+                   round(sum(value), 4) AS total_value
+            FROM events GROUP BY 1"""
     # streaming op shares the batch oracle
     sql["stream_hourly_window"] = sql["evt_hourly_window"]
     return sql

@@ -108,12 +108,15 @@ def _clean_link(href: str, base_url: str) -> str | None:
         return None
     if any(c in _ILLEGAL_URL_CHARS for c in href):
         return None
-    try:
-        url = urljoin(base_url, href)
-    except ValueError:
-        return None
-    if not url.startswith(("http://", "https://")):
-        return None
+    if href.startswith(("http://", "https://")):
+        url = href  # fast path: urljoin returns absolute hrefs unchanged
+    else:
+        try:
+            url = urljoin(base_url, href)
+        except ValueError:
+            return None
+        if not url.startswith(("http://", "https://")):
+            return None
     parts = urlsplit(url)
     # strip fragment
     url = urlunsplit((parts.scheme, parts.netloc, parts.path, parts.query, ""))

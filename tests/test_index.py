@@ -142,3 +142,24 @@ def test_priors_match_oracle(tables, oracle_index):
     docs = tables["docs"].sort_values("doc_id")
     np.testing.assert_allclose(
         docs["prior"].to_numpy(), oracle_index.prior, rtol=0, atol=1e-9)
+
+
+def test_head_term_salting_bounds_group_sizes(tables):
+    """Skew evidence: with range-bucket salting, no (term,bucket) group that
+    fed applyInPandas can exceed ~df/n_buckets for head terms — the largest
+    contiguous block run per head term must span multiple buckets rather
+    than one giant group (the reference ignores skew entirely, SURVEY §4)."""
+    terms = tables["terms"]
+    blocks = tables["postings"]
+    head = terms[terms["df"] > 200]
+    assert len(head) > 0
+    n_buckets = 4  # conftest knob
+    for _, t in head.iterrows():
+        grp = blocks[blocks["term_id"] == t["term_id"]]
+        # each bucket's run was cut into ceil(bucket_df/block_docs) blocks of
+        # <= block_docs(=64) docs; a single unsalted group would emit runs of
+        # consecutive full blocks ending in ONE partial block — salted builds
+        # show >= 2 partial blocks (one per non-empty bucket) for terms with
+        # df spread over the doc space
+        partial = (grp["n_docs"] < 64).sum()
+        assert partial >= 2, (t["term"], int(t["df"]), len(grp))
