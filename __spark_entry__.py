@@ -542,6 +542,27 @@ def q_src_json_roundtrip(spark, sf):
                  F.round(F.sum("value"), 4).alias("total_value")))
 
 
+def q_txt_corpus_filter(spark, sf):
+    """The training-data-curation composite: keep-list of documents passing
+    language ID ('en'), a minimum quality bar (>= 40 tokens, stopword ratio
+    >= 2%), and exact-dedup survivorship (min doc_id per text hash) — the
+    end product the dedup/quality/langid family exists for."""
+    d = load(spark, sf, "documents")
+    toks = tokens_col(F.col("text"))
+    feat = d.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        langid_col(toks).alias("lang"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: x.isin(STOPWORDS))).alias("stop"))
+    survivors = feat.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    return (feat.join(survivors, (feat.doc_id == survivors.keep_id)
+                      & (feat.h == survivors.h))
+            .filter((F.col("lang") == "en") & (F.col("n_tokens") >= 40)
+                    & (F.col("stop") >= F.col("n_tokens") * 0.02))
+            .select("doc_id"))
+
+
 PR_GRAPH_ITERS = 5
 
 
@@ -625,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_phrase_match": q_txt_phrase_match,
         "sim_ann_ivf": q_sim_ann_ivf,
         "src_json_roundtrip": q_src_json_roundtrip,
+        "txt_corpus_filter": q_txt_corpus_filter,
     }
 
 
@@ -1018,6 +1040,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n,
                    round(sum(value), 4) AS total_value
             FROM events GROUP BY 1"""
+    sql['txt_corpus_filter'] = f"""
+            WITH toks AS (SELECT doc_id, md5(text) AS h, {_TOKS} AS ts
+                          FROM documents),
+            feat AS (SELECT doc_id, h, len(ts) AS n_tokens,
+                            len(list_filter(ts, t -> list_contains(
+                                {_STOP_LIST}, t))) AS stop
+                     FROM toks),
+            survivors AS (SELECT h, min(doc_id) AS keep_id
+                          FROM feat GROUP BY 1)
+            SELECT f.doc_id
+            FROM feat f JOIN survivors s
+                 ON f.doc_id = s.keep_id AND f.h = s.h
+            WHERE f.n_tokens >= 40
+              AND f.stop >= f.n_tokens * 0.02
+              AND (f.n_tokens > 0 AND f.stop * 1.0 / f.n_tokens >= 0.08)"""
     # streaming op shares the batch oracle
     sql["stream_hourly_window"] = sql["evt_hourly_window"]
     return sql

@@ -119,12 +119,19 @@ def main():
     spark.stop()
 
     print("== index build (full, 20-cycle PageRank) ==", file=sys.stderr)
-    full = build_in_subprocess(CPUS, f"{work}/pages", f"{work}/idx", iters=20)
+    # Arrow stages run one python worker per JVM task slot, so local[N] uses
+    # ~2N processes; with 32 vCPUs (≈21 physical), N=CPUS oversubscribes
+    # (measured: doc_terms 97s at local[32] vs 35s at local[8]). Half the
+    # vCPUs saturates the box for this python-heavy pipeline.
+    build_cores = max(8, CPUS // 2)
+    full = build_in_subprocess(build_cores, f"{work}/pages", f"{work}/idx",
+                               iters=20)
     build_sec = full["sec"]
     result["index"] = {
-        "n_pages": n_pages, "build_sec": round(build_sec, 2),
+        "n_pages": n_pages, "build_cores": build_cores,
+        "build_sec": round(build_sec, 2),
         "docs_per_sec": round(n_pages / build_sec, 1),
-        "docs_per_sec_per_core": round(n_pages / build_sec / CPUS, 2),
+        "docs_per_sec_per_core": round(n_pages / build_sec / build_cores, 2),
         "stage_sec": full["stage_sec"],
     }
     print(f"  {result['index']}", file=sys.stderr)

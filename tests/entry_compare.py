@@ -6,7 +6,6 @@ as a manual harness: python tests/entry_compare.py [sf_dir] [name ...]
 
 from __future__ import annotations
 
-import math
 import sys
 
 import duckdb

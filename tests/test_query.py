@@ -53,3 +53,20 @@ def test_distributed_scorer_matches(spark, index_dir, oracle_index):
         assert [r["doc_id"] for r in rows] == [d for d, _ in want], query
         for r, (_, ws) in zip(rows, want):
             assert abs(r["score"] - ws) < 1e-6
+
+
+def test_randomized_queries_match_oracle(engine, oracle_index):
+    """Fuzz: random 1-3 term queries drawn from the corpus vocabulary must be
+    rank-identical too (not just the 12 planted reference queries)."""
+    import numpy as np
+    rng = np.random.default_rng(99)
+    vocab = oracle_index.terms
+    for _ in range(40):
+        n = int(rng.integers(1, 4))
+        terms = [vocab[int(rng.integers(0, len(vocab)))] for _ in range(n)]
+        q = " ".join(terms)
+        got = engine.search(q, k=10)
+        want = oracle_index.bm25_topk(q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-6, q
