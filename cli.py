@@ -40,6 +40,8 @@ def main(argv=None):
     q.add_argument("--q", required=True)
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--no-prune", action="store_true")
+    q.add_argument("--proximity", action="store_true",
+                   help="min-span proximity boost (kernel.bm25)")
 
     args = ap.parse_args(argv)
 
@@ -47,7 +49,8 @@ def main(argv=None):
         from hadoopsearchengine_spark.operators.wand import QueryEngine
         qe = QueryEngine(args.index)
         t0 = time.time()
-        hits = qe.search(args.q, k=args.k, prune=not args.no_prune)
+        hits = qe.search(args.q, k=args.k, prune=not args.no_prune,
+                         proximity=args.proximity)
         print(json.dumps({
             "query": args.q, "k": args.k, "ms": round(1000 * (time.time() - t0), 2),
             "hits": [{"doc_id": d, "score": s} for d, s in hits]}))

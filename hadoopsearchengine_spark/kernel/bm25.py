@@ -58,3 +58,44 @@ def top_k_sort(doc_ids: np.ndarray, scores: np.ndarray, k: int):
 
 def ln(x: float) -> float:
     return math.log(x)
+
+
+# -- optional proximity boost (re-expression of the reference's proximity
+#    runs, DyableRequest/SearchHitItems/HitScore.h:139-233: runs of nearby
+#    distinct query terms score higher). Opt-in; the verified default
+#    contract stays pure BM25. --
+
+PROX_ALPHA = 0.25
+
+
+def min_span(term_positions: list) -> int | None:
+    """Smallest slack of a window containing >= 1 occurrence of EVERY term:
+    span = (window_max - window_min) - (m - 1), 0 = perfectly adjacent.
+    term_positions: list (one entry per distinct matched term) of ascending
+    position arrays. None when fewer than two terms matched."""
+    m = len(term_positions)
+    if m < 2:
+        return None
+    import heapq
+    heads = [(int(p[0]), i, 0) for i, p in enumerate(term_positions)]
+    heapq.heapify(heads)
+    cur_max = max(h[0] for h in heads)
+    best = None
+    while True:
+        pos, i, j = heapq.heappop(heads)
+        span = (cur_max - pos) - (m - 1)
+        if best is None or span < best:
+            best = span
+        if j + 1 >= len(term_positions[i]):
+            return max(best, 0)
+        nxt = int(term_positions[i][j + 1])
+        cur_max = max(cur_max, nxt)
+        heapq.heappush(heads, (nxt, i, j + 1))
+
+
+def proximity_multiplier(term_positions: list) -> float:
+    """1 + alpha/(1+span); 1.0 when <2 distinct terms matched."""
+    s = min_span(term_positions)
+    if s is None:
+        return 1.0
+    return 1.0 + PROX_ALPHA / (1.0 + s)

@@ -45,7 +45,7 @@ class QueryEngine:
     term_id % N across query servers, each shard preloading its slice)."""
 
     _BLOCK_COLS = ["term_id", "block_no", "min_doc", "max_doc", "n_docs",
-                   "max_score", "doc_gaps", "tfs"]
+                   "max_score", "doc_gaps", "tfs", "positions"]
 
     def __init__(self, index_dir: str, preload: bool = True):
         import pyarrow.parquet as pq
@@ -90,9 +90,15 @@ class QueryEngine:
             columns=self._BLOCK_COLS)
         return tbl.to_pandas()
 
-    def search(self, query: str, k: int = 10,
-               prune: bool = True) -> list[tuple[int, float]]:
-        """-> [(doc_id, score)] score desc, doc_id asc; len <= k."""
+    def search(self, query: str, k: int = 10, prune: bool = True,
+               proximity: bool = False) -> list[tuple[int, float]]:
+        """-> [(doc_id, score)] score desc, doc_id asc; len <= k.
+
+        proximity=True applies the opt-in min-span boost
+        (kernel.bm25.proximity_multiplier — re-expressing the reference's
+        proximity runs, HitScore.h:139-233) using the positions stored in
+        the posting blocks; pruning bounds are scaled by the boost's max
+        (1+alpha) so it stays rank-exact vs the oracle's prox variant."""
         qterms = sorted(set(tokenize(query)))
         tids = [int(self.term_id[t]) for t in qterms if t in self.term_id]
         if not tids:
@@ -131,6 +137,8 @@ class QueryEngine:
 
         term_ids_arr = blocks["term_id"].to_numpy()
         decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        decoded_pos: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        boost_cap = 1.0 + (bm25.PROX_ALPHA if proximity else 0.0)
 
         def ensure_decoded(bi: int):
             got = decoded.get(bi)
@@ -141,10 +149,32 @@ class QueryEngine:
                 got = decoded[bi] = (ids, tfs)
             return got
 
+        def ensure_positions(bi: int):
+            got = decoded_pos.get(bi)
+            if got is None:
+                from ..kernel.codec import decode_positions
+                _ids, tfs = ensure_decoded(bi)
+                pos = decode_positions(blocks.iloc[bi]["positions"], tfs)
+                offsets = np.concatenate(
+                    ([0], np.cumsum(tfs))).astype(np.int64)
+                got = decoded_pos[bi] = (pos, offsets)
+            return got
+
+        def doc_positions(doc_id: int, block_idx) -> list:
+            """Per matched term, the doc's ascending position array."""
+            out = []
+            for bi in block_idx:
+                ids, _tfs = ensure_decoded(int(bi))
+                j = int(np.searchsorted(ids, doc_id))
+                if j < len(ids) and ids[j] == doc_id:
+                    pos, offs = ensure_positions(int(bi))
+                    out.append(pos[offs[j]:offs[j + 1]])
+            return out
+
         self.blocks_scored = 0  # instrumentation for prune-rate tests
         self.blocks_total = int(len(blocks))
         for ub, lo, hi in range_ubs:
-            if prune and len(heap) >= k and ub < theta - EPS:
+            if prune and len(heap) >= k and ub * boost_cap < theta - EPS:
                 continue  # no doc in this range can beat/tie the k-th score
             idx = np.flatnonzero((blk_min < hi) & (blk_max >= lo))
             all_d, all_c = [], []
@@ -170,11 +200,16 @@ class QueryEngine:
             tot *= self.prior[uniq]
             # only candidates that can enter the heap need the python loop
             if len(heap) >= k:
-                cand = np.flatnonzero(tot >= theta - EPS)
+                cand = np.flatnonzero(tot * boost_cap >= theta - EPS)
             else:
                 cand = np.arange(len(uniq))
             for j in cand:
-                item = (float(tot[j]), -int(uniq[j]))
+                score = float(tot[j])
+                did = int(uniq[j])
+                if proximity:
+                    score *= bm25.proximity_multiplier(
+                        doc_positions(did, idx))
+                item = (score, -did)
                 if len(heap) < k:
                     heapq.heappush(heap, item)
                 elif item > heap[0]:

@@ -150,3 +150,29 @@ class OracleIndex:
             ((did, self.prior[did] * sc) for did, sc in scores.items()),
             key=lambda x: (-x[1], x[0]))
         return ranked[:k]
+
+
+def _bm25_topk_prox(self, query, k=10):
+    """Proximity-boosted variant: score * (1 + alpha/(1+min_span))."""
+    from hadoopsearchengine_spark.kernel.bm25 import proximity_multiplier
+    qterms = sorted(set(tokenize(query)))
+    acc: dict[int, float] = {}
+    posmap: dict[int, list] = {}
+    for t in qterms:
+        pl = self.postings.get(t)
+        if not pl:
+            continue
+        t_idf = float(bm25.idf(self.df[t], self.n_docs))
+        for did, tf, positions in pl:
+            c = bm25.contrib_scalar(tf, float(self.doc_len[did]),
+                                    self.avgdl, t_idf)
+            acc[did] = acc.get(did, 0.0) + c
+            posmap.setdefault(did, []).append(positions)
+    ranked = sorted(
+        ((did, self.prior[did] * sc * proximity_multiplier(posmap[did]))
+         for did, sc in acc.items()),
+        key=lambda x: (-x[1], x[0]))
+    return ranked[:k]
+
+
+OracleIndex.bm25_topk_prox = _bm25_topk_prox

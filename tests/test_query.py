@@ -70,3 +70,19 @@ def test_randomized_queries_match_oracle(engine, oracle_index):
         assert [d for d, _ in got] == [d for d, _ in want], q
         for (_, gs), (_, ws) in zip(got, want):
             assert abs(gs - ws) < 1e-6, q
+
+
+def test_proximity_boost_rank_identical_to_oracle(engine, oracle_index):
+    """Opt-in proximity boost: engine must match the oracle's prox variant,
+    and the boost must actually reorder something vs plain BM25."""
+    changed = 0
+    for query in REFERENCE_QUERIES:
+        got = engine.search(query, k=10, proximity=True)
+        want = oracle_index.bm25_topk_prox(query, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], query
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-6
+        plain = engine.search(query, k=10)
+        if [d for d, _ in got] != [d for d, _ in plain]:
+            changed += 1
+    assert changed >= 1, "proximity boost should reorder at least one query"
