@@ -188,8 +188,21 @@ def build_index(spark, pages: DataFrame | str, index_dir: str, *,
 
     # -- doc_terms ---------------------------------------------------------
     def w_doc_terms(out):
-        df = (extracted.select("doc_id", "text")
-              .mapInPandas(_doc_terms_batches, schema=DOC_TERMS_SCHEMA))
+        # fully JVM-side: posexplode of the Catalyst tokenizer expression
+        # (functions.text.tokens_col — proven token-for-token equal to
+        # kernel.tokenize in tests/test_functions.py) + hash aggregation.
+        # Measured 2.7x faster than the Arrow/Python kernel pass on 96k docs
+        # (21.9s vs 59.7s at 16 cores), identical rows; positions are the
+        # kept-sequence indexes, same as the kernel. _doc_terms_batches
+        # remains the shared-kernel reference path (streaming uses it).
+        from ..functions.text import tokens_col
+        df = (extracted
+              .select("doc_id",
+                      F.posexplode(tokens_col(F.col("text")))
+                      .alias("pos", "term"))
+              .groupBy("doc_id", "term")
+              .agg(F.count("*").cast("int").alias("tf"),
+                   F.sort_array(F.collect_list("pos")).alias("positions")))
         df.write.mode("overwrite").parquet(out)
         return n_pages
     _stage(m, "doc_terms", base_ref, paths["doc_terms"], w_doc_terms, resume)
