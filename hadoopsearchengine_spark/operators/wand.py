@@ -29,7 +29,7 @@ import heapq
 import numpy as np
 
 from ..kernel import bm25
-from ..kernel.codec import decode_deltas, decode_varints
+from ..kernel.codec import decode_deltas, decode_tfs
 from ..kernel.tokenize import tokenize
 
 
@@ -145,7 +145,7 @@ class QueryEngine:
             if got is None:
                 row = blocks.iloc[bi]
                 ids = decode_deltas(row["doc_gaps"]).astype(np.int64)
-                tfs = decode_varints(row["tfs"]).astype(np.int64)
+                tfs = decode_tfs(row["tfs"]).astype(np.int64)
                 got = decoded[bi] = (ids, tfs)
             return got
 
@@ -252,7 +252,7 @@ def bm25_topk_df(spark, index_dir: str, query: str, k: int = 10):
             for tid, gaps, tfs in zip(pdf["term_id"], pdf["doc_gaps"],
                                       pdf["tfs"]):
                 ids = decode_deltas(gaps).astype(np.int64)
-                tf = decode_varints(tfs).astype(np.int64)
+                tf = decode_tfs(tfs).astype(np.int64)
                 outs.append(pd.DataFrame(
                     {"term_id": int(tid), "doc_id": ids, "tf": tf}))
             if outs:

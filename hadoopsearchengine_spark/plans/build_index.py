@@ -37,7 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..kernel import bm25
-from ..kernel.codec import encode_deltas, encode_positions, encode_varints
+from ..kernel.codec import encode_deltas, encode_positions, encode_tfs
 from ..kernel.htmlx import extract
 from ..kernel.tokenize import tokenize
 from ..operators.ids import assign_dense_ids
@@ -112,7 +112,7 @@ def _build_blocks(pdf: pd.DataFrame, block_docs: int) -> pd.DataFrame:
             term_id, int(blk_docs[0]), int(blk_docs[-1]), end - start,
             float(scores[start:end].max()),
             encode_deltas(blk_docs),
-            encode_varints(blk_tfs.astype(np.uint64)),
+            encode_tfs(blk_tfs),
             encode_positions(blk_pos, blk_tfs),
         ))
     return pd.DataFrame(rows, columns=[

@@ -64,3 +64,45 @@ if HAVE_HYP:
         arr = np.array(vals, dtype=np.uint64)
         assert np.array_equal(
             codec.decode_varints(codec.encode_varints(arr)), arr)
+
+
+def test_bitpack_roundtrips():
+    rng = np.random.default_rng(21)
+    for _ in range(40):
+        n = int(rng.integers(0, 3000))
+        bits = int(rng.integers(1, 63))
+        vals = rng.integers(0, 2**bits, size=n, dtype=np.uint64)
+        assert np.array_equal(codec.decode_bitpack(
+            codec.encode_bitpack(vals)), vals)
+    # wide values -> raw fallback
+    wide = np.array([2**63 + 5, 1], dtype=np.uint64)
+    assert np.array_equal(codec.decode_bitpack(codec.encode_bitpack(wide)),
+                          wide)
+    assert codec.decode_bitpack(codec.encode_bitpack(
+        np.array([], dtype=np.uint64))).size == 0
+
+
+def test_best_codec_picks_smaller_and_roundtrips():
+    rng = np.random.default_rng(22)
+    # small uniform gaps: bitpack should win (constant width beats 1B/value
+    # only when width < 8 bits)
+    gaps = rng.integers(1, 30, size=4000, dtype=np.uint64)
+    buf = codec.encode_best(gaps)
+    assert buf[0] == 0x42, "bitpack should win on 5-bit gaps"
+    assert np.array_equal(codec.decode_best(buf), gaps)
+    # skewed values with rare large outliers: varint wins
+    vals = np.ones(1000, dtype=np.uint64)
+    vals[::100] = 2**40
+    buf2 = codec.encode_best(vals)
+    assert buf2[0] == 0x56, "varint should win under rare wide outliers"
+    assert np.array_equal(codec.decode_best(buf2), vals)
+    assert codec.decode_best(b"").size == 0
+
+
+if HAVE_HYP:
+    @given(st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+                    min_size=0, max_size=300))
+    @settings(max_examples=40, deadline=None)
+    def test_hypothesis_best_codec(vals):
+        arr = np.array(vals, dtype=np.uint64)
+        assert np.array_equal(codec.decode_best(codec.encode_best(arr)), arr)

@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 from hadoopsearchengine_spark.kernel.codec import (
-    decode_deltas, decode_positions, decode_varints)
+    decode_deltas, decode_positions, decode_tfs)
 
 
 @pytest.fixture(scope="module")
@@ -74,7 +74,7 @@ def test_postings_decode_to_oracle(tables, oracle_index):
         prev_max = -1
         for _, b in grp.iterrows():
             bids = decode_deltas(b["doc_gaps"])
-            btfs = decode_varints(b["tfs"]).astype(np.int64)
+            btfs = decode_tfs(b["tfs"]).astype(np.int64)
             bpos = decode_positions(b["positions"], btfs)
             assert int(b["min_doc"]) == bids[0]
             assert int(b["max_doc"]) == bids[-1]
@@ -109,7 +109,7 @@ def test_block_max_scores(tables, oracle_index):
             n=min(300, len(tables["postings"])), random_state=1).iterrows():
         term, df = tid_to[b["term_id"]]
         bids = decode_deltas(b["doc_gaps"])
-        btfs = decode_varints(b["tfs"]).astype(np.int64)
+        btfs = decode_tfs(b["tfs"]).astype(np.int64)
         t_idf = float(bm25.idf(int(df), oi.n_docs))
         c = bm25.contrib(btfs, oi.doc_len[bids].astype(np.float64),
                          oi.avgdl, t_idf)

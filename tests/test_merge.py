@@ -65,7 +65,7 @@ def test_links_identical(spark, merged_and_full):
 
 def test_postings_decode_identical(spark, merged_and_full):
     from hadoopsearchengine_spark.kernel.codec import (
-        decode_deltas, decode_varints)
+        decode_deltas, decode_tfs)
     merged, full = merged_and_full
 
     def decode_all(path):
@@ -75,7 +75,7 @@ def test_postings_decode_identical(spark, merged_and_full):
             ids = np.concatenate(
                 [decode_deltas(b) for b in grp["doc_gaps"]])
             tfs = np.concatenate(
-                [decode_varints(b).astype(np.int64) for b in grp["tfs"]])
+                [decode_tfs(b).astype(np.int64) for b in grp["tfs"]])
             out[term_id] = (ids, tfs)
         return out
 
