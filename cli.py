@@ -42,6 +42,8 @@ def main(argv=None):
     q.add_argument("--no-prune", action="store_true")
     q.add_argument("--proximity", action="store_true",
                    help="min-span proximity boost (kernel.bm25)")
+    q.add_argument("--title-boost", action="store_true",
+                   help="title-field weighted tf (BM25F-lite)")
 
     args = ap.parse_args(argv)
 
@@ -50,7 +52,8 @@ def main(argv=None):
         qe = QueryEngine(args.index)
         t0 = time.time()
         hits = qe.search(args.q, k=args.k, prune=not args.no_prune,
-                         proximity=args.proximity)
+                         proximity=args.proximity,
+                         title_boost=args.title_boost)
         print(json.dumps({
             "query": args.q, "k": args.k, "ms": round(1000 * (time.time() - t0), 2),
             "hits": [{"doc_id": d, "score": s} for d, s in hits]}))

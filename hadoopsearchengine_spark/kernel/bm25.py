@@ -67,6 +67,12 @@ def ln(x: float) -> float:
 
 PROX_ALPHA = 0.25
 
+# opt-in title-field weight (BM25F-lite): weighted tf = tf + (W_TITLE-1) *
+# title_tf. Since contrib is concave in tf with contrib(0)=0 and
+# weighted_tf <= W_TITLE * tf, contrib(weighted) <= W_TITLE * contrib(tf) —
+# so block-max bounds scale by W_TITLE for rank-exact pruning.
+W_TITLE = 2.0
+
 
 def min_span(term_positions: list) -> int | None:
     """Smallest slack of a window containing >= 1 occurrence of EVERY term:

@@ -45,7 +45,7 @@ class QueryEngine:
     term_id % N across query servers, each shard preloading its slice)."""
 
     _BLOCK_COLS = ["term_id", "block_no", "min_doc", "max_doc", "n_docs",
-                   "max_score", "doc_gaps", "tfs", "positions"]
+                   "max_score", "doc_gaps", "tfs", "positions", "title_tfs"]
 
     def __init__(self, index_dir: str, preload: bool = True):
         import pyarrow.parquet as pq
@@ -91,14 +91,17 @@ class QueryEngine:
         return tbl.to_pandas()
 
     def search(self, query: str, k: int = 10, prune: bool = True,
-               proximity: bool = False) -> list[tuple[int, float]]:
+               proximity: bool = False,
+               title_boost: bool = False) -> list[tuple[int, float]]:
         """-> [(doc_id, score)] score desc, doc_id asc; len <= k.
 
         proximity=True applies the opt-in min-span boost
         (kernel.bm25.proximity_multiplier — re-expressing the reference's
         proximity runs, HitScore.h:139-233) using the positions stored in
-        the posting blocks; pruning bounds are scaled by the boost's max
-        (1+alpha) so it stays rank-exact vs the oracle's prox variant."""
+        the posting blocks. title_boost=True scores with the weighted tf
+        (tf + (W_TITLE-1)*title_tf — the reference's title-hit type bits,
+        FileStorage.h:205-274, as BM25F-lite). Both scale the pruning bounds
+        by their max factor, staying rank-exact vs the oracle variants."""
         qterms = sorted(set(tokenize(query)))
         tids = [int(self.term_id[t]) for t in qterms if t in self.term_id]
         if not tids:
@@ -139,13 +142,18 @@ class QueryEngine:
         decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         decoded_pos: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         boost_cap = 1.0 + (bm25.PROX_ALPHA if proximity else 0.0)
+        if title_boost:
+            boost_cap *= bm25.W_TITLE  # contrib(weighted tf) <= W * contrib
 
         def ensure_decoded(bi: int):
             got = decoded.get(bi)
             if got is None:
                 row = blocks.iloc[bi]
                 ids = decode_deltas(row["doc_gaps"]).astype(np.int64)
-                tfs = decode_tfs(row["tfs"]).astype(np.int64)
+                tfs = decode_tfs(row["tfs"]).astype(np.float64)
+                if title_boost:
+                    ttfs = decode_tfs(row["title_tfs"]).astype(np.float64)
+                    tfs = tfs + (bm25.W_TITLE - 1.0) * ttfs
                 got = decoded[bi] = (ids, tfs)
             return got
 
@@ -153,10 +161,12 @@ class QueryEngine:
             got = decoded_pos.get(bi)
             if got is None:
                 from ..kernel.codec import decode_positions
-                _ids, tfs = ensure_decoded(bi)
-                pos = decode_positions(blocks.iloc[bi]["positions"], tfs)
+                # raw tf counts (NOT the title-weighted tfs) frame positions
+                raw_tfs = decode_tfs(
+                    blocks.iloc[bi]["tfs"]).astype(np.int64)
+                pos = decode_positions(blocks.iloc[bi]["positions"], raw_tfs)
                 offsets = np.concatenate(
-                    ([0], np.cumsum(tfs))).astype(np.int64)
+                    ([0], np.cumsum(raw_tfs))).astype(np.int64)
                 got = decoded_pos[bi] = (pos, offsets)
             return got
 

@@ -48,10 +48,10 @@ DEFAULT_BLOCK_DOCS = 4096
 
 EXTRACTED_SCHEMA = ("doc_id long, url string, text string, title string, "
                     "links array<string>")
-DOC_TERMS_SCHEMA = ("doc_id long, term string, tf int, positions array<int>")
+DOC_TERMS_SCHEMA = ("doc_id long, term string, tf int, positions array<int>, title_tf int")
 POSTING_BLOCK_SCHEMA = (
     "term_id long, min_doc long, max_doc long, n_docs int, max_score double, "
-    "doc_gaps binary, tfs binary, positions binary")
+    "doc_gaps binary, tfs binary, positions binary, title_tfs binary")
 
 
 def _extract_batches(iterator):
@@ -89,7 +89,10 @@ def _doc_terms_batches(iterator):
             out_tf.extend(counts.tolist())
             out_pos.extend(splits)
         yield pd.DataFrame({"doc_id": out_doc, "term": out_term,
-                            "tf": out_tf, "positions": out_pos})
+                            "tf": out_tf, "positions": out_pos,
+                            # body-only reference path (streaming token
+                            # counts); the build stage fills real title_tf
+                            "title_tf": 0})
 
 
 def _build_blocks(pdf: pd.DataFrame, block_docs: int) -> pd.DataFrame:
@@ -99,6 +102,7 @@ def _build_blocks(pdf: pd.DataFrame, block_docs: int) -> pd.DataFrame:
     term_id = int(pdf["term_id"].iloc[0])
     doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
     tfs = pdf["tf"].to_numpy(dtype=np.int64)
+    title_tfs = pdf["title_tf"].to_numpy(dtype=np.int64)
     scores = pdf["score"].to_numpy(dtype=np.float64)
     positions = pdf["positions"].to_numpy()
     rows = []
@@ -114,10 +118,11 @@ def _build_blocks(pdf: pd.DataFrame, block_docs: int) -> pd.DataFrame:
             encode_deltas(blk_docs),
             encode_tfs(blk_tfs),
             encode_positions(blk_pos, blk_tfs),
+            encode_tfs(title_tfs[start:end]),
         ))
     return pd.DataFrame(rows, columns=[
         "term_id", "min_doc", "max_doc", "n_docs", "max_score",
-        "doc_gaps", "tfs", "positions"])
+        "doc_gaps", "tfs", "positions", "title_tfs"])
 
 
 STAGE_TIMINGS: dict[str, float] = {}  # wall seconds of the last run's stages
@@ -196,13 +201,23 @@ def build_index(spark, pages: DataFrame | str, index_dir: str, *,
         # kept-sequence indexes, same as the kernel. _doc_terms_batches
         # remains the shared-kernel reference path (streaming uses it).
         from ..functions.text import tokens_col
-        df = (extracted
-              .select("doc_id",
-                      F.posexplode(tokens_col(F.col("text")))
-                      .alias("pos", "term"))
-              .groupBy("doc_id", "term")
-              .agg(F.count("*").cast("int").alias("tf"),
-                   F.sort_array(F.collect_list("pos")).alias("positions")))
+        body = (extracted
+                .select("doc_id",
+                        F.posexplode(tokens_col(F.col("text")))
+                        .alias("pos", "term"))
+                .groupBy("doc_id", "term")
+                .agg(F.count("*").cast("int").alias("tf"),
+                     F.sort_array(F.collect_list("pos")).alias("positions")))
+        # per-field term frequency: title hits (the reference's title-hit
+        # type bits, FileStorage.h:205-274; title terms also appear in the
+        # body stream since extracted text includes the title segment)
+        title = (extracted
+                 .select("doc_id",
+                         F.explode(tokens_col(F.col("title"))).alias("term"))
+                 .groupBy("doc_id", "term")
+                 .agg(F.count("*").cast("int").alias("title_tf")))
+        df = (body.join(title, ["doc_id", "term"], "left")
+              .fillna(0, subset=["title_tf"]))
         df.write.mode("overwrite").parquet(out)
         return n_pages
     _stage(m, "doc_terms", base_ref, paths["doc_terms"], w_doc_terms, resume)
@@ -298,7 +313,7 @@ def _finish_index(spark, m: Manifest, base_ref: str, paths: dict,
                 (F.col("doc_id") / F.lit(bucket_span)).cast("long"))
                 .otherwise(F.lit(0)))
             .select("term_id", "bucket", "doc_id", "tf", "positions",
-                    "score"))
+                    "title_tf", "score"))
         blocks = scored.groupBy("term_id", "bucket").applyInPandas(
             lambda pdf: _build_blocks(pdf, block_docs),
             schema=POSTING_BLOCK_SCHEMA)

@@ -121,7 +121,8 @@ def merge_indexes(spark, shard_dirs: list[str], index_dir: str, *,
                  .join(remap, ["url", "_shard"])
                  .select("_shard", "_old_id"))
         (joined.join(owner, ["_shard", "_old_id"], "left_semi")
-         .select(F.col("_new_id").alias("doc_id"), "term", "tf", "positions")
+         .select(F.col("_new_id").alias("doc_id"), "term", "tf", "positions",
+                 "title_tf")
          .write.mode("overwrite").parquet(out))
         return n_pages
     _stage(m, "doc_terms", base_ref, paths["doc_terms"], w_doc_terms, resume)

@@ -52,6 +52,7 @@ class OracleIndex:
 
         self.doc_len = np.zeros(n, dtype=np.int64)
         self.postings: dict[str, list[tuple[int, int, list[int]]]] = {}
+        self.title_tf: dict[tuple[str, int], int] = {}
         raw_edges: list[tuple[int, int, bool]] = []  # (src, dst, affiliated)
         self.texts: dict[int, str] = {}
 
@@ -67,6 +68,8 @@ class OracleIndex:
             for t, positions in per_term.items():
                 self.postings.setdefault(t, []).append(
                     (did, len(positions), positions))
+            for t in tokenize(res.title):
+                self.title_tf[(t, did)] = self.title_tf.get((t, did), 0) + 1
             src_dom = _domain(p["url"])
             for link in res.links:
                 dst = self.doc_id.get(link)
@@ -176,3 +179,28 @@ def _bm25_topk_prox(self, query, k=10):
 
 
 OracleIndex.bm25_topk_prox = _bm25_topk_prox
+
+
+def _bm25_topk_title(self, query, k=10):
+    """Title-field-weighted variant: weighted tf = tf + (W_TITLE-1)*title_tf
+    (kernel.bm25.W_TITLE)."""
+    from hadoopsearchengine_spark.kernel.bm25 import W_TITLE
+    qterms = sorted(set(tokenize(query)))
+    scores: dict[int, float] = {}
+    for t in qterms:
+        pl = self.postings.get(t)
+        if not pl:
+            continue
+        t_idf = float(bm25.idf(self.df[t], self.n_docs))
+        for did, tf, _ in pl:
+            wtf = tf + (W_TITLE - 1.0) * self.title_tf.get((t, did), 0)
+            c = bm25.contrib_scalar(wtf, float(self.doc_len[did]),
+                                    self.avgdl, t_idf)
+            scores[did] = scores.get(did, 0.0) + c
+    ranked = sorted(
+        ((did, self.prior[did] * sc) for did, sc in scores.items()),
+        key=lambda x: (-x[1], x[0]))
+    return ranked[:k]
+
+
+OracleIndex.bm25_topk_title = _bm25_topk_title

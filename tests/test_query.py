@@ -86,3 +86,22 @@ def test_proximity_boost_rank_identical_to_oracle(engine, oracle_index):
         if [d for d, _ in got] != [d for d, _ in plain]:
             changed += 1
     assert changed >= 1, "proximity boost should reorder at least one query"
+
+
+def test_title_boost_rank_identical_to_oracle(engine, oracle_index):
+    """Opt-in title-field weighting must match the oracle's title variant and
+    reorder something vs plain BM25 (titles carry the planted query terms)."""
+    changed = 0
+    for query in REFERENCE_QUERIES:
+        got = engine.search(query, k=10, title_boost=True)
+        want = oracle_index.bm25_topk_title(query, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], query
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-6
+        if [d for d, _ in got] != [d for d, _ in engine.search(query, k=10)]:
+            changed += 1
+    assert changed >= 1
+    # combined boosts must not crash and must stay deterministic
+    a = engine.search("cold war", k=10, title_boost=True, proximity=True)
+    b = engine.search("cold war", k=10, title_boost=True, proximity=True)
+    assert a == b
