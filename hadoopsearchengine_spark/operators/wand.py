@@ -62,6 +62,13 @@ class QueryEngine:
         s = pq.read_table(f"{index_dir}/stats").to_pylist()[0]
         self.n_docs, self.avgdl = int(s["n_docs"]), float(s["avgdl"])
         self._blocks = None
+        # engine-level decode caches (preload mode only): decoded gap/tf and
+        # position arrays survive across queries, so repeated terms skip
+        # payload decode entirely. Bounded by the block count (payloads are
+        # pinned anyway; decoded arrays are ~2-3x the payload bytes).
+        self._dec_plain: dict[int, tuple] = {}
+        self._dec_title: dict[int, tuple] = {}
+        self._dec_positions: dict[int, tuple] = {}
         if preload:
             tbl = pq.read_table(f"{self.index_dir}/postings",
                                 columns=self._BLOCK_COLS).to_pandas()
@@ -82,7 +89,10 @@ class QueryEngine:
                                   if t in self._ranges)]
             if not parts:
                 return self._blocks.iloc[0:0]
-            return pd.concat(parts, ignore_index=True)
+            out = pd.concat(parts, ignore_index=False)
+            # keep the global row index as the cross-query cache key
+            out = out.reset_index(names="_gidx")
+            return out
         import pyarrow.parquet as pq
         tbl = pq.read_table(
             f"{self.index_dir}/postings",
@@ -139,14 +149,20 @@ class QueryEngine:
         range_ubs.sort(key=lambda x: -x[0])
 
         term_ids_arr = blocks["term_id"].to_numpy()
-        decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-        decoded_pos: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        # cross-query caches when preloaded (keyed by global row id); private
+        # per-call dicts otherwise
+        has_gidx = "_gidx" in blocks.columns
+        gidx = blocks["_gidx"].to_numpy() if has_gidx else None
+        dec_cache = ((self._dec_title if title_boost else self._dec_plain)
+                     if has_gidx else {})
+        pos_cache = self._dec_positions if has_gidx else {}
         boost_cap = 1.0 + (bm25.PROX_ALPHA if proximity else 0.0)
         if title_boost:
             boost_cap *= bm25.W_TITLE  # contrib(weighted tf) <= W * contrib
 
         def ensure_decoded(bi: int):
-            got = decoded.get(bi)
+            key = int(gidx[bi]) if has_gidx else bi
+            got = dec_cache.get(key)
             if got is None:
                 row = blocks.iloc[bi]
                 ids = decode_deltas(row["doc_gaps"]).astype(np.int64)
@@ -154,11 +170,12 @@ class QueryEngine:
                 if title_boost:
                     ttfs = decode_tfs(row["title_tfs"]).astype(np.float64)
                     tfs = tfs + (bm25.W_TITLE - 1.0) * ttfs
-                got = decoded[bi] = (ids, tfs)
+                got = dec_cache[key] = (ids, tfs)
             return got
 
         def ensure_positions(bi: int):
-            got = decoded_pos.get(bi)
+            key = int(gidx[bi]) if has_gidx else bi
+            got = pos_cache.get(key)
             if got is None:
                 from ..kernel.codec import decode_positions
                 # raw tf counts (NOT the title-weighted tfs) frame positions
@@ -167,7 +184,7 @@ class QueryEngine:
                 pos = decode_positions(blocks.iloc[bi]["positions"], raw_tfs)
                 offsets = np.concatenate(
                     ([0], np.cumsum(raw_tfs))).astype(np.int64)
-                got = decoded_pos[bi] = (pos, offsets)
+                got = pos_cache[key] = (pos, offsets)
             return got
 
         def doc_positions(doc_id: int, block_idx) -> list:
@@ -283,3 +300,12 @@ def bm25_topk_df(spark, index_dir: str, query: str, k: int = 10):
         .agg(F.sum("contrib").alias("c"))
         .select("doc_id", (F.col("prior") * F.col("c")).alias("score")))
     return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def search_many(engine: QueryEngine, queries: list[str], k: int = 10,
+                **kwargs) -> dict[str, list[tuple[int, float]]]:
+    """Batch query execution over a warm engine: shared terms across the
+    batch decode once (the engine-level decode caches persist across
+    search() calls in preload mode). Results identical to per-query
+    search()."""
+    return {q: engine.search(q, k=k, **kwargs) for q in queries}
