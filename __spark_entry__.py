@@ -736,7 +736,7 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1 ELSE 0 END AS new_sess
               FROM events WINDOW w AS (PARTITION BY user_id
                                        ORDER BY ts, event_id))
-            SELECT user_id, sum(new_sess) AS n_sessions,
+            SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY 1""",
         "evt_json_extract": """
@@ -753,7 +753,7 @@ def oracle_sql() -> dict[str, str]:
             WITH {_TOKS_CTE},
             per_doc AS (SELECT doc_id, token, count(*) AS tf
                         FROM tok GROUP BY 1, 2)
-            SELECT token, count(*) AS df, sum(tf) AS cf
+            SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
             FROM per_doc GROUP BY 1""",
         "txt_dedup_exact": """
             SELECT md5(text) AS text_md5, count(*) AS n_docs,
@@ -890,11 +890,11 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
     sql['rel_pivot'] = """
             SELECT o_orderstatus,
-                   sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS p1,
-                   sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS p2,
-                   sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS p3,
-                   sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS p4,
-                   sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS p5
+                   CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+                   CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+                   CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+                   CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4,
+                   CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5
             FROM orders GROUP BY 1"""
     sql['rel_distinct_agg'] = """
             SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_parts,

@@ -31,11 +31,13 @@ def token_shingles(df: DataFrame, text_col: str, id_col: str,
     engine tokenizer (functions.text.tokens_col)."""
     from .text import tokens_col
     toks = tokens_col(F.col(text_col))
+    # Guard short docs: size-n < 0 would make F.sequence descend ([0,-1])
+    # and F.slice throw on start index 0. Short/empty docs → zero shingles.
+    idx = F.when(F.size(toks) >= n,
+                 F.sequence(F.lit(0), F.size(toks) - n)
+                 ).otherwise(F.array().cast("array<int>"))
     shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     )
     return df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
 

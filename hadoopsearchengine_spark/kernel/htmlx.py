@@ -117,7 +117,10 @@ def _clean_link(href: str, base_url: str) -> str | None:
             return None
         if not url.startswith(("http://", "https://")):
             return None
-    parts = urlsplit(url)
+    try:
+        parts = urlsplit(url)
+    except ValueError:  # e.g. "http://[x/" → Invalid IPv6 URL
+        return None
     # strip fragment
     url = urlunsplit((parts.scheme, parts.netloc, parts.path, parts.query, ""))
     path = parts.path

@@ -25,9 +25,16 @@ def assign_dense_ids(df: DataFrame, key: str, id_col: str,
     """
     spark = df.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
+    # localCheckpoint (not persist): the two passes below (count, then
+    # re-read with offsets) MUST see the same partitioning — a cache-evicted
+    # recompute would re-sample range bounds over a nondeterministically
+    # ordered upstream (e.g. distinct()) and silently corrupt the offsets.
+    # Truncating lineage removes that hazard, and the blocks are released by
+    # the ContextCleaner when the caller drops the result (persist() on a
+    # DataFrame pins the plan in the CacheManager for the whole session).
     ranged = (df.repartitionByRange(n_part, F.col(key))
                 .sortWithinPartitions(key)
-                .persist())
+                .localCheckpoint(eager=True))
     counts = (ranged.select(F.spark_partition_id().alias("_pid"))
               .groupBy("_pid").count().collect())
     by_pid = {r["_pid"]: r["count"] for r in counts}
@@ -52,8 +59,7 @@ def assign_dense_ids(df: DataFrame, key: str, id_col: str,
             seen += len(pdf)
             yield pdf
 
-    out = ranged.mapInPandas(add_ids, schema=out_schema)
-    return out
+    return ranged.mapInPandas(add_ids, schema=out_schema)
 
 
 def prefix_sum_offsets(counts: pd.Series) -> dict[int, int]:

@@ -166,8 +166,20 @@ def build_index(spark, pages: DataFrame | str, index_dir: str, *,
     n_buckets = n_range_buckets or p * 2
 
     n_pages = pages.count()
+    if pages_path == "<inline>":
+        # Inline DataFrames have no path to fingerprint; row count alone
+        # would let two same-sized corpora alias each other and a stale
+        # resume serve the old corpus. Fold in a cheap content digest:
+        # min/max url plus an order-insensitive xor-ish hash of all urls.
+        agg = pages.agg(
+            F.min("url").alias("lo"), F.max("url").alias("hi"),
+            F.bit_xor(F.xxhash64("url")).alias("h")).collect()[0]
+        content_sig = (agg["lo"], agg["hi"], int(agg["h"] or 0))
+    else:
+        content_sig = None
     base_ref = fingerprint(pages_path, n_pages, block_docs,
-                           head_df_threshold, n_buckets, pagerank_iters)
+                           head_df_threshold, n_buckets, pagerank_iters,
+                           content_sig)
     paths = {s: f"{index_dir}/{s}" for s in
              ("docs_ids", "extracted", "doc_terms", "terms", "links",
               "docs", "postings", "stats")}

@@ -96,9 +96,16 @@ def merge_indexes(spark, shard_dirs: list[str], index_dir: str, *,
         ex = parts[0]
         for x in parts[1:]:
             ex = ex.unionByName(x)
-        # urls duplicated across shards keep one copy (first by shard order)
+        # urls duplicated across shards keep exactly the min-shard copy —
+        # the SAME deterministic owner rule as w_doc_terms below, so
+        # extracted text/links and doc_terms always come from one shard.
+        # (dropDuplicates keeps an arbitrary row; Spark gives no ordering
+        # guarantee across a union.)
+        from pyspark.sql import Window
+        w = Window.partitionBy("url").orderBy("_shard")
         (ex.join(docs_ids, "url")
-         .dropDuplicates(["url"])
+         .withColumn("_rn", F.row_number().over(w))
+         .filter(F.col("_rn") == 1)
          .select("doc_id", "url", "text", "title", "links")
          .write.mode("overwrite").parquet(out))
         return n_pages

@@ -63,15 +63,12 @@ def incremental_index(spark, pages_dir: str, out_dir: str,
         def per_batch(iterator):
             for pdf in iterator:
                 rows = []
-                drows = []
                 for url, text in zip(pdf["url"], pdf["text"]):
                     per_term: dict[str, list[int]] = {}
-                    toks = tokenize(text)
-                    for pos, t in enumerate(toks):
+                    for pos, t in enumerate(tokenize(text)):
                         per_term.setdefault(t, []).append(pos)
                     for t, positions in per_term.items():
                         rows.append((url, t, len(positions), positions))
-                    drows.append((url, len(toks)))
                 yield pd.DataFrame(
                     rows, columns=["url", "term", "tf", "positions"])
 
@@ -80,7 +77,15 @@ def incremental_index(spark, pages_dir: str, out_dir: str,
             schema="url string, term string, tf int, positions array<int>")
         (deltas.write.mode("overwrite")
          .parquet(f"{out_dir}/delta_doc_terms/batch={batch_id}"))
-        (batch_df.select("url", F.length("text").alias("n_chars"))
+        # doc_len = token count, derived from the posting delta (sum of tf
+        # per url) so BM25 length normalization sees token counts, not chars;
+        # a left join keeps zero-token urls with doc_len 0.
+        doc_terms = spark.read.parquet(
+            f"{out_dir}/delta_doc_terms/batch={batch_id}")
+        dl = doc_terms.groupBy("url").agg(
+            F.sum("tf").cast("long").alias("doc_len"))
+        (batch_df.select("url").join(dl, "url", "left")
+         .na.fill({"doc_len": 0})
          .write.mode("overwrite")
          .parquet(f"{out_dir}/delta_docs/batch={batch_id}"))
 

@@ -47,6 +47,17 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
 def compare(got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
     """-> list of problems ([] = exact match after normalization)."""
     problems = []
+    # The driver's value hash is dtype-sensitive: a DuckDB HUGEINT that
+    # arrives as float64 vs Spark's int64 hash-mismatches even when the
+    # values are equal (round-1 lesson). Flag kind mismatches BEFORE
+    # normalization flattens them.
+    for c in sorted(set(got.columns) & set(want.columns)):
+        gk, wk = got[c].dtype.kind, want[c].dtype.kind
+        if {gk, wk} == {"i", "f"} or {gk, wk} == {"u", "f"}:
+            problems.append(
+                f"col {c}: dtype kind mismatch spark={got[c].dtype} "
+                f"oracle={want[c].dtype} (driver hash would differ — "
+                f"CAST the oracle column)")
     g, w = normalize(got), normalize(want)
     if list(g.columns) != list(w.columns):
         return [f"schema: {list(g.columns)} != {list(w.columns)}"]

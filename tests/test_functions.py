@@ -51,6 +51,21 @@ def _dup_docs(spark):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+def test_short_docs_yield_zero_shingles(spark):
+    # Docs with < n kept tokens must produce zero shingles, not crash
+    # (ADVICE r1: F.sequence(0,-1) descends and F.slice threw on start=0).
+    rows = [(0, ""), (1, "one"), (2, "just two"), (3, "now three tokens"),
+            (4, "a much longer document with enough tokens for shingles")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup.token_shingles(df, "text", "doc_id").collect()
+    ids = {r["doc_id"] for r in sh}
+    assert 0 not in ids and 1 not in ids and 2 not in ids
+    assert 3 in ids and 4 in ids
+    # and the full minhash path survives a short-doc corpus
+    sigs = dedup.minhash_signatures(df, "text", "doc_id").collect()
+    assert {r["doc_id"] for r in sigs} == {3, 4}
+
+
 def test_exact_dedup_groups(spark):
     got = {r["keep_id"]: r["n_docs"]
            for r in dedup.exact_dedup(_dup_docs(spark), "text", "doc_id")

@@ -65,9 +65,20 @@ def test_extract_adversarial():
         b"<title>unclosed", b"<p>text<\r\n<a href=>x</a>",
         b"<script>never closed", b"<a href='q'>t",
         bytes(range(256)),
+        # hrefs that make urlsplit raise ValueError (invalid IPv6 bracket):
+        b'<a href="http://[x/">t</a>',
+        b'<a href="http://[::1">t</a>',
     ]:
         r = extract(html, "http://x.com/")
         assert isinstance(r.text, str)
+
+
+def test_clean_link_invalid_ipv6_dropped():
+    # urlsplit raises ValueError on these; extract() must drop the link,
+    # never raise (ADVICE r1: one adversarial page killed the build stage).
+    r = extract(b'<a href="http://[x/">bad</a><a href="http://ok.com/a">ok</a>',
+                "http://x.com/")
+    assert r.links == ["http://ok.com/a"]
 
 
 def test_extract_fragment_and_blacklist():
