@@ -111,6 +111,78 @@ def cosine_topk_lsh(vectors: DataFrame, queries: DataFrame, dim: int,
                     F.round("cosine", round_to).alias("cosine")))
 
 
+def cosine_pairs_blocked(vectors: DataFrame, threshold: float,
+                         n_blocks: int = 8, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """EXACT all-pairs cosine join: (a, b, cosine) for every unordered pair
+    with cosine >= threshold, a < b — via blocked equi-join, not a cartesian.
+
+    Shape: hash each vector into one of ``n_blocks`` blocks; each of the
+    B*(B+1)/2 unordered block pairs is a GEMM tile. Tile membership (which
+    tiles a vector joins, and on which side) is emitted JVM-side as an
+    exploded array, then ONE hash shuffle on pair_id feeds applyInPandas,
+    which scores the whole tile with a vectorized float64 matmul. The plan
+    has NO join node at all — no CartesianProduct/BroadcastNestedLoop (the
+    r1 `a.join(b, a<b)` shape) — tasks are uniformly sized tiles, and
+    per-pair work is BLAS instead of N^2/2 row-at-a-time aggregate evals.
+
+    Honesty at 100 TB: exact low-threshold similarity join is inherently
+    O(N^2) COMPUTE — blocking fixes the shuffle/plan shape and the constant
+    (vector replication is N*(B+1) rows, GEMM >> row-wise dot), and the
+    block-pair table is where centroid-distance upper bounds would prune
+    whole tiles on clustered real-world embeddings. Beyond ~10^7 vectors use
+    the approximate paths (cosine_topk_lsh / cosine_topk_ivf) — exact
+    cos>=0.4 over 10^9 embeddings is not a workload any engine runs.
+    """
+    import pandas as pd
+
+    n = n_blocks
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n)).cast("int")
+    # Tile membership emitted JVM-side: a vector in block k is the LEFT leg
+    # of tiles (k, j) j>=k and the RIGHT leg of tiles (i, k) i<=k. One
+    # explode -> one hash shuffle on pair_id; no join of any kind.
+    memb = F.concat(
+        F.transform(F.sequence(blk, F.lit(n - 1)),
+                    lambda j: F.struct((blk * n + j).alias("pair_id"),
+                                       F.lit("L").alias("side"))),
+        F.transform(F.sequence(F.lit(0), blk),
+                    lambda i: F.struct((i * n + blk).alias("pair_id"),
+                                       F.lit("R").alias("side"))))
+    tiles = (vectors.select(F.col(id_col).alias("vid"),
+                            F.col(vec_col).alias("vec"),
+                            F.explode(memb).alias("m"))
+             .select("vid", "vec", "m.pair_id", "m.side"))
+
+    def gemm(key, pdf: pd.DataFrame):
+        lpdf = pdf[pdf["side"] == "L"]
+        rpdf = pdf[pdf["side"] == "R"]
+        if not len(lpdf) or not len(rpdf):
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        lids = lpdf["vid"].to_numpy()
+        rids = rpdf["vid"].to_numpy()
+        A = np.stack([np.asarray(x, dtype=np.float64) for x in lpdf["vec"]])
+        B = np.stack([np.asarray(x, dtype=np.float64) for x in rpdf["vec"]])
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        B /= np.linalg.norm(B, axis=1, keepdims=True)
+        C = A @ B.T
+        ii, jj = np.nonzero(C >= threshold)
+        a, b, c = lids[ii], rids[jj], C[ii, jj]
+        if int(key[0]) % (n + 1) == 0:
+            # diagonal tile (bi == bj): both orders + self-pairs present
+            keep = a < b
+            a, b, c = a[keep], b[keep], c[keep]
+        else:
+            # off-diagonal tile: each unordered pair appears once, in
+            # arbitrary id order — normalize to a < b
+            a, b = np.minimum(a, b), np.maximum(a, b)
+        # raw cosine out — callers round (F.round, matching the SQL oracle's
+        # rounding semantics rather than numpy's round-half-even)
+        return pd.DataFrame({"a": a, "b": b, "cosine": c})
+
+    return (tiles.groupBy("pair_id")
+            .applyInPandas(gemm, "a long, b long, cosine double"))
+
+
 def cosine_topk_ivf(vectors: DataFrame, queries: DataFrame, dim: int,
                     k: int = 5, n_cells: int = 16, n_probe: int = 4,
                     kmeans_iters: int = 5, seed: int = 42,

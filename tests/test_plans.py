@@ -54,6 +54,20 @@ def test_jvm_ops_have_no_python_eval(spark):
             assert marker not in plan, (name, marker)
 
 
+def test_no_cartesian_in_pair_ops(spark):
+    """The r1 O(n^2) shapes (VERDICT): sim_neardup must run as the blocked
+    tile join and txt_cooccur as the JVM windowed-pair explode — neither may
+    contain a CartesianProduct/BroadcastNestedLoop node, and txt_cooccur
+    must contain no join at all."""
+    import __spark_entry__ as E
+    qs = E.queries()
+    for name in ("sim_neardup", "txt_cooccur"):
+        plan = _plan(qs[name](spark, SF))
+        for marker in ("CartesianProduct", "BroadcastNestedLoop"):
+            assert marker not in plan, (name, marker)
+    assert "Join" not in _plan(qs["txt_cooccur"](spark, SF))
+
+
 def test_wholestage_codegen_present(spark):
     import __spark_entry__ as E
     df = E.queries()["rel_tpch_q1"](spark, SF)
