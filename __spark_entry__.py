@@ -563,6 +563,54 @@ def q_txt_corpus_filter(spark, sf):
             .select("doc_id"))
 
 
+def q_txt_anchor_terms(spark, sf):
+    """Anchor-text hits re-keyed to the TARGET document (the reference's
+    anchor hit stream, CompileHitList.h:316-319 / hadoopsearchengine_spark
+    plans.build_index.w_anchor_terms): same operator shape over a
+    deterministic synthetic link set — doc i links to doc (i*7+3) mod N with
+    anchor text = the source's first 3 tokens; self-links dropped, targets
+    resolved by join (dangling would drop). Output: per (target doc, term)
+    anchor_tf."""
+    d = load(spark, sf, "documents")
+    n = d.count()
+    toks = tokens_col(F.col("text"))
+    edges = (d.select(F.col("doc_id").alias("src"),
+                      ((F.col("doc_id") * 7 + 3) % F.lit(n)).alias("dst"),
+                      F.slice(toks, 1, 3).alias("anchor_ts"))
+             .filter(F.col("src") != F.col("dst")))
+    ids = d.select(F.col("doc_id").alias("dst"))
+    hits = (edges.join(ids, "dst")
+            .select(F.col("dst").alias("doc_id"),
+                    F.explode("anchor_ts").alias("term")))
+    return hits.groupBy("doc_id", "term").agg(
+        F.count("*").alias("anchor_tf"))
+
+
+def q_txt_excerpts(spark, sf):
+    """Excerpt segmentation (reference DocumentInstance.h:129-160,212-262:
+    <=1600-char spans, >=2 sentences, >=512 chars, one record per ~3750-char
+    stride) over the documents table via the shared kernel
+    (kernel.htmlx.segment_excerpts) in one Arrow pass. Output: per-doc
+    excerpt count, lead-excerpt length, total excerpt chars."""
+    import pandas as pd
+    from hadoopsearchengine_spark.kernel.htmlx import segment_excerpts
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+
+    def seg(batches):
+        for pdf in batches:
+            ex = [segment_excerpts(t) for t in pdf["text"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_excerpts": [len(e) for e in ex],
+                "lead_len": [len(e[0]) if e else 0 for e in ex],
+                "total_chars": [sum(len(x) for x in e) for e in ex]})
+
+    return d.mapInPandas(
+        seg, schema="doc_id long, n_excerpts long, lead_len long, "
+                    "total_chars long")
+
+
 PR_GRAPH_ITERS = 5
 
 
@@ -647,6 +695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivf": q_sim_ann_ivf,
         "src_json_roundtrip": q_src_json_roundtrip,
         "txt_corpus_filter": q_txt_corpus_filter,
+        "txt_anchor_terms": q_txt_anchor_terms,
+        "txt_excerpts": q_txt_excerpts,
     }
 
 
@@ -1055,6 +1105,71 @@ def oracle_sql() -> dict[str, str]:
             WHERE f.n_tokens >= 40
               AND f.stop >= f.n_tokens * 0.02
               AND (f.n_tokens > 0 AND f.stop * 1.0 / f.n_tokens >= 0.08)"""
+    sql['txt_anchor_terms'] = f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            n AS (SELECT count(*) AS n FROM documents),
+            edges AS (SELECT t.doc_id AS src,
+                             (t.doc_id * 7 + 3) % n.n AS dst,
+                             ts[1:3] AS anchor_ts
+                      FROM toks t, n
+                      WHERE (t.doc_id * 7 + 3) % n.n <> t.doc_id),
+            hits AS (SELECT e.dst AS doc_id, unnest(e.anchor_ts) AS term
+                     FROM edges e JOIN documents d ON e.dst = d.doc_id)
+            SELECT doc_id, term, count(*) AS anchor_tf
+            FROM hits GROUP BY 1, 2"""
+    # excerpt segmentation (kernel.htmlx.segment_excerpts) re-expressed in
+    # SQL: sentence spans from '. '-splits + window offsets; excerpt starts
+    # chain recursively (next start = first sentence at >= prev + STRIDE);
+    # membership = sentences whose end fits the 1600-char span (ends are
+    # monotonic, so the fit set is exactly the kernel's greedy prefix);
+    # emission needs >= 2 sentences and >= 512 joined chars.
+    sql['txt_excerpts'] = """
+            WITH RECURSIVE
+            sp AS (SELECT doc_id, string_split(text, '. ') AS parts
+                   FROM documents),
+            sent0 AS (SELECT doc_id, len(parts) AS np,
+                             unnest(parts) AS p,
+                             generate_subscripts(parts, 1) AS i
+                      FROM sp),
+            sent AS (SELECT doc_id, i,
+                            CASE WHEN i < np THEN len(p) + 1
+                                 ELSE len(p) END AS slen,
+                            COALESCE(SUM(len(p) + 2) OVER (
+                                PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS off
+                     FROM sent0
+                     WHERE NOT (np = 1 AND len(p) = 0)),
+            starts AS (
+                SELECT doc_id, 0 AS s FROM sent WHERE i = 1
+                UNION ALL
+                SELECT st.doc_id,
+                       (SELECT min(off) FROM sent
+                        WHERE sent.doc_id = st.doc_id
+                          AND sent.off >= st.s + 3750) AS s
+                FROM starts st
+                WHERE EXISTS (SELECT 1 FROM sent
+                              WHERE sent.doc_id = st.doc_id
+                                AND sent.off >= st.s + 3750)),
+            members AS (SELECT st.doc_id, st.s, count(*) AS ns,
+                               sum(se.slen) + count(*) - 1 AS chars
+                        FROM starts st
+                        JOIN sent se ON se.doc_id = st.doc_id
+                         AND se.off >= st.s
+                         AND se.off + se.slen - st.s <= 1600
+                        GROUP BY 1, 2),
+            emitted AS (SELECT doc_id, s, chars FROM members
+                        WHERE ns >= 2 AND chars >= 512)
+            SELECT d.doc_id,
+                   CAST(count(e.s) AS BIGINT) AS n_excerpts,
+                   CAST(COALESCE(min(CASE WHEN e.s = me.mins THEN e.chars
+                                     END), 0) AS BIGINT) AS lead_len,
+                   CAST(COALESCE(sum(e.chars), 0) AS BIGINT) AS total_chars
+            FROM documents d
+            LEFT JOIN emitted e ON e.doc_id = d.doc_id
+            LEFT JOIN (SELECT doc_id, min(s) AS mins FROM emitted
+                       GROUP BY 1) me ON me.doc_id = d.doc_id
+            GROUP BY 1"""
     # streaming op shares the batch oracle
     sql["stream_hourly_window"] = sql["evt_hourly_window"]
     return sql

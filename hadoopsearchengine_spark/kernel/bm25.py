@@ -73,6 +73,30 @@ PROX_ALPHA = 0.25
 # so block-max bounds scale by W_TITLE for rank-exact pruning.
 W_TITLE = 2.0
 
+# full field-weight set, mirroring the reference's per-hit weight bonuses
+# (Webpage.h:139-176: base 1, meta +3, anchor +2, image +2, cap [1,7]).
+# title/img-alt hits are SUBSETS of the body stream (their text is indexed
+# body text), so they add (W-1)*field_tf on top of tf; meta-keyword and
+# anchor hits are NOT in the body stream (meta content is never body text;
+# anchor text belongs to the SOURCE page, the hit is keyed to the TARGET
+# doc, CompileHitList.h:316-319), so they add the full W*field_tf — and a
+# doc with body tf = 0 but anchor/meta hits is still retrievable, exactly
+# the reference's anchor-hit behavior.
+W_META = 4.0
+W_ANCHOR = 3.0
+W_IMG = 3.0
+
+
+def weighted_tf(tf, title_tf, anchor_tf, meta_tf, alt_tf):
+    """BM25F-lite weighted tf (works on scalars or numpy arrays)."""
+    return (tf + (W_TITLE - 1.0) * title_tf + W_ANCHOR * anchor_tf
+            + W_META * meta_tf + (W_IMG - 1.0) * alt_tf)
+
+
+# query-time spam cut (reference HitScore.h:250-253: documents whose hit
+# count for a term exceeds ~45 occurrences are zeroed as keyword stuffing)
+SPAM_TF_CAP = 45
+
 
 def min_span(term_positions: list) -> int | None:
     """Smallest slack of a window containing >= 1 occurrence of EVERY term:

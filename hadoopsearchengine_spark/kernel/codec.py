@@ -98,8 +98,13 @@ def encode_positions(positions_concat: np.ndarray, counts: np.ndarray) -> bytes:
     deltas = np.empty_like(pos)
     deltas[0] = pos[0]
     np.subtract(pos[1:], pos[:-1], out=deltas[1:])
-    # reset the delta chain at each doc boundary (store absolute first pos)
-    starts = np.concatenate(([0], np.cumsum(counts)[:-1])).astype(np.int64)
+    # reset the delta chain at each doc boundary (store absolute first pos);
+    # zero-count docs (tf=0 anchor-/meta-only posting rows) own no positions
+    # and must not contribute a boundary (their "start" aliases the next
+    # doc's — or falls past the end for trailing zeros)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    starts = starts[counts > 0]
     deltas[starts] = pos[starts]
     return encode_best(deltas.astype(np.uint64))
 

@@ -54,6 +54,66 @@ class ExtractResult:
     anchors: list[str] = field(default_factory=list)  # parallel to links
     img_alts: list[str] = field(default_factory=list)
     meta_keywords: list[str] = field(default_factory=list)
+    excerpts: list[str] = field(default_factory=list)
+
+
+# -- excerpt segmentation (reference DyableParseTREC/DyableParseHTML/
+#    DocumentInstance.h:20-23,129-160,212-262: excerpt records of <=1600-byte
+#    span, kept only with >=2 sentences and >=512 chars, one record taken per
+#    ~3750-byte stretch of the document). Retrieval falls back title ->
+#    first excerpt for display (SearchHitItems.h:449-474). --
+EXCERPT_SPAN = 1600
+EXCERPT_MIN_CHARS = 512
+EXCERPT_MIN_SENTENCES = 2
+EXCERPT_STRIDE = 3750
+
+
+def _sentences(text: str):
+    """(start_offset, sentence) spans: a sentence ends at '. ' (delimiter
+    kept with the sentence) or at end-of-text. Deterministic, never raises."""
+    out = []
+    i, n = 0, len(text)
+    while i < n:
+        dot = text.find(". ", i)
+        if dot == -1:
+            out.append((i, text[i:]))
+            break
+        out.append((i, text[i:dot + 1]))
+        i = dot + 2
+    return out
+
+
+def segment_excerpts(text: str) -> list[str]:
+    """Split normalized document text into excerpt records per the reference
+    bounds above. Short documents (< MIN_CHARS of sentence text) yield no
+    excerpts — display falls back to the title."""
+    excerpts: list[str] = []
+    cur: list[str] = []
+    cur_start = 0
+    cur_len = 0
+    next_start = 0  # offset threshold where the next excerpt may begin
+
+    def close():
+        nonlocal cur, cur_len, next_start
+        if (len(cur) >= EXCERPT_MIN_SENTENCES
+                and cur_len >= EXCERPT_MIN_CHARS):
+            excerpts.append(" ".join(cur))
+        next_start = cur_start + EXCERPT_STRIDE
+        cur, cur_len = [], 0
+
+    for off, s in _sentences(text):
+        if cur:
+            if (off - cur_start) + len(s) > EXCERPT_SPAN:
+                close()
+            else:
+                cur.append(s)
+                cur_len += len(s) + 1
+                continue
+        if off >= next_start:
+            cur, cur_start, cur_len = [s], off, len(s)
+    if cur:
+        close()
+    return excerpts
 
 
 def _norm_ws(s: str) -> str:
@@ -235,4 +295,5 @@ def extract(html: bytes | str, base_url: str = "") -> ExtractResult:
 
     res.title = _norm_ws(" ".join(title_parts))
     res.text = _norm_ws(" ".join(text_parts))
+    res.excerpts = segment_excerpts(res.text)
     return res

@@ -45,7 +45,8 @@ class QueryEngine:
     term_id % N across query servers, each shard preloading its slice)."""
 
     _BLOCK_COLS = ["term_id", "block_no", "min_doc", "max_doc", "n_docs",
-                   "max_score", "doc_gaps", "tfs", "positions", "title_tfs"]
+                   "max_score", "max_wscore", "doc_gaps", "tfs", "positions",
+                   "title_tfs", "anchor_tfs", "meta_tfs", "alt_tfs"]
 
     def __init__(self, index_dir: str, preload: bool = True):
         import pyarrow.parquet as pq
@@ -53,12 +54,16 @@ class QueryEngine:
         t = pq.read_table(f"{index_dir}/terms").to_pandas()
         self.term_id = dict(zip(t["term"], t["term_id"]))
         self.term_df = dict(zip(t["term"], t["df"]))
-        d = pq.read_table(f"{index_dir}/docs",
-                          columns=["doc_id", "doc_len", "prior"]).to_pandas()
+        d = pq.read_table(
+            f"{index_dir}/docs",
+            columns=["doc_id", "doc_len", "prior", "text_fp"]).to_pandas()
         self.doc_len = np.zeros(int(d["doc_id"].max()) + 1, dtype=np.float64)
         self.doc_len[d["doc_id"].to_numpy()] = d["doc_len"].to_numpy()
         self.prior = np.zeros_like(self.doc_len)
         self.prior[d["doc_id"].to_numpy()] = d["prior"].to_numpy()
+        # content checksums for the query-time duplicate cut
+        self.text_fp = np.zeros(len(self.doc_len), dtype=np.int64)
+        self.text_fp[d["doc_id"].to_numpy()] = d["text_fp"].to_numpy()
         s = pq.read_table(f"{index_dir}/stats").to_pylist()[0]
         self.n_docs, self.avgdl = int(s["n_docs"]), float(s["avgdl"])
         self._blocks = None
@@ -68,6 +73,7 @@ class QueryEngine:
         # pinned anyway; decoded arrays are ~2-3x the payload bytes).
         self._dec_plain: dict[int, tuple] = {}
         self._dec_title: dict[int, tuple] = {}
+        self._dec_fields: dict[int, tuple] = {}
         self._dec_positions: dict[int, tuple] = {}
         if preload:
             tbl = pq.read_table(f"{self.index_dir}/postings",
@@ -101,8 +107,9 @@ class QueryEngine:
         return tbl.to_pandas()
 
     def search(self, query: str, k: int = 10, prune: bool = True,
-               proximity: bool = False,
-               title_boost: bool = False) -> list[tuple[int, float]]:
+               proximity: bool = False, title_boost: bool = False,
+               field_boost: bool = False, spam_cap: bool = False,
+               dedup: bool = False) -> list[tuple[int, float]]:
         """-> [(doc_id, score)] score desc, doc_id asc; len <= k.
 
         proximity=True applies the opt-in min-span boost
@@ -111,7 +118,37 @@ class QueryEngine:
         the posting blocks. title_boost=True scores with the weighted tf
         (tf + (W_TITLE-1)*title_tf — the reference's title-hit type bits,
         FileStorage.h:205-274, as BM25F-lite). Both scale the pruning bounds
-        by their max factor, staying rank-exact vs the oracle variants."""
+        by their max factor, staying rank-exact vs the oracle variants.
+
+        field_boost=True scores with the FULL field-weighted tf
+        (kernel.bm25.weighted_tf: title/anchor/meta/img-alt streams, the
+        reference's hit weights Webpage.h:139-176 — anchor hits keyed to the
+        target doc are first-class, so anchor-only docs are retrievable).
+        Pruning stays rank-exact via the stored per-block max_wscore bound.
+        Supersedes title_boost (mutually exclusive).
+
+        spam_cap=True zeroes documents where any matched term's body tf
+        exceeds SPAM_TF_CAP (keyword stuffing, HitScore.h:250-253).
+        dedup=True removes checksum-identical lower-ranked documents from
+        the ranked list (CompileRankedList.h:206-242)."""
+        if title_boost and field_boost:
+            raise ValueError("field_boost already includes the title field")
+        if dedup:
+            # over-fetch, cut checksum-dups keeping the best-ranked, truncate
+            inner = self.search(query, k=4 * k + 8, prune=prune,
+                                proximity=proximity, title_boost=title_boost,
+                                field_boost=field_boost, spam_cap=spam_cap)
+            seen: set[int] = set()
+            out = []
+            for did, sc in inner:
+                fp = int(self.text_fp[did])
+                if fp in seen:
+                    continue
+                seen.add(fp)
+                out.append((did, sc))
+                if len(out) == k:
+                    break
+            return out
         qterms = sorted(set(tokenize(query)))
         tids = [int(self.term_id[t]) for t in qterms if t in self.term_id]
         if not tids:
@@ -132,7 +169,9 @@ class QueryEngine:
         # per range, which blocks overlap + their max_score sum
         blk_min = blocks["min_doc"].to_numpy()
         blk_max = blocks["max_doc"].to_numpy()
-        blk_ms = blocks["max_score"].to_numpy()
+        # field-weighted queries prune against the weighted block max —
+        # body max_score does NOT bound anchor-/meta-only docs (tf=0 rows)
+        blk_ms = blocks["max_wscore" if field_boost else "max_score"].to_numpy()
 
         heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
         theta = -np.inf
@@ -153,24 +192,36 @@ class QueryEngine:
         # per-call dicts otherwise
         has_gidx = "_gidx" in blocks.columns
         gidx = blocks["_gidx"].to_numpy() if has_gidx else None
-        dec_cache = ((self._dec_title if title_boost else self._dec_plain)
-                     if has_gidx else {})
+        dec_cache = ((self._dec_fields if field_boost
+                      else self._dec_title if title_boost
+                      else self._dec_plain) if has_gidx else {})
         pos_cache = self._dec_positions if has_gidx else {}
         boost_cap = 1.0 + (bm25.PROX_ALPHA if proximity else 0.0)
         if title_boost:
             boost_cap *= bm25.W_TITLE  # contrib(weighted tf) <= W * contrib
+        # (field_boost needs no cap: blk_ms is already the weighted max)
 
         def ensure_decoded(bi: int):
+            """-> (doc_ids, scoring tfs, raw body tfs) for block bi."""
             key = int(gidx[bi]) if has_gidx else bi
             got = dec_cache.get(key)
             if got is None:
                 row = blocks.iloc[bi]
                 ids = decode_deltas(row["doc_gaps"]).astype(np.int64)
-                tfs = decode_tfs(row["tfs"]).astype(np.float64)
-                if title_boost:
+                raw = decode_tfs(row["tfs"]).astype(np.float64)
+                if field_boost:
+                    tfs = bm25.weighted_tf(
+                        raw,
+                        decode_tfs(row["title_tfs"]).astype(np.float64),
+                        decode_tfs(row["anchor_tfs"]).astype(np.float64),
+                        decode_tfs(row["meta_tfs"]).astype(np.float64),
+                        decode_tfs(row["alt_tfs"]).astype(np.float64))
+                elif title_boost:
                     ttfs = decode_tfs(row["title_tfs"]).astype(np.float64)
-                    tfs = tfs + (bm25.W_TITLE - 1.0) * ttfs
-                got = dec_cache[key] = (ids, tfs)
+                    tfs = raw + (bm25.W_TITLE - 1.0) * ttfs
+                else:
+                    tfs = raw
+                got = dec_cache[key] = (ids, tfs, raw)
             return got
 
         def ensure_positions(bi: int):
@@ -191,11 +242,13 @@ class QueryEngine:
             """Per matched term, the doc's ascending position array."""
             out = []
             for bi in block_idx:
-                ids, _tfs = ensure_decoded(int(bi))
+                ids, _tfs, _raw = ensure_decoded(int(bi))
                 j = int(np.searchsorted(ids, doc_id))
                 if j < len(ids) and ids[j] == doc_id:
                     pos, offs = ensure_positions(int(bi))
-                    out.append(pos[offs[j]:offs[j + 1]])
+                    seg = pos[offs[j]:offs[j + 1]]
+                    if len(seg):  # tf=0 (anchor-only) rows have no positions
+                        out.append(seg)
             return out
 
         self.blocks_scored = 0  # instrumentation for prune-rate tests
@@ -204,17 +257,26 @@ class QueryEngine:
             if prune and len(heap) >= k and ub * boost_cap < theta - EPS:
                 continue  # no doc in this range can beat/tie the k-th score
             idx = np.flatnonzero((blk_min < hi) & (blk_max >= lo))
-            all_d, all_c = [], []
+            all_d, all_c, all_r = [], [], []
             for bi in idx:
-                ids, tfs = ensure_decoded(int(bi))
+                ids, tfs, raw = ensure_decoded(int(bi))
                 l = int(np.searchsorted(ids, lo))
                 r = int(np.searchsorted(ids, hi))
                 if l == r:
                     continue
-                dids = ids[l:r]
+                dids, btfs, braw = ids[l:r], tfs[l:r], raw[l:r]
+                if not field_boost:
+                    # tf=0 rows (anchor-/meta-only hits) are not matches
+                    # under body scoring — the round-1 contract unchanged
+                    nz = np.flatnonzero(braw > 0)
+                    if len(nz) == 0:
+                        continue
+                    if len(nz) < len(dids):
+                        dids, btfs, braw = dids[nz], btfs[nz], braw[nz]
                 all_d.append(dids)
+                all_r.append(braw)
                 all_c.append(bm25.contrib(
-                    tfs[l:r], self.doc_len[dids], self.avgdl,
+                    btfs, self.doc_len[dids], self.avgdl,
                     idfs[int(term_ids_arr[bi])]))
             if not all_d:
                 continue
@@ -225,6 +287,11 @@ class QueryEngine:
             tot = np.zeros(len(uniq), dtype=np.float64)
             np.add.at(tot, inv, c)
             tot *= self.prior[uniq]
+            if spam_cap:
+                # zero docs where any matched term's body tf > SPAM_TF_CAP
+                mx = np.zeros(len(uniq), dtype=np.float64)
+                np.maximum.at(mx, inv, np.concatenate(all_r))
+                tot[mx > bm25.SPAM_TF_CAP] = 0.0
             # only candidates that can enter the heap need the python loop
             if len(heap) >= k:
                 cand = np.flatnonzero(tot * boost_cap >= theta - EPS)
@@ -246,6 +313,24 @@ class QueryEngine:
 
         out = sorted(((-nd, s) for s, nd in heap), key=lambda x: (-x[1], x[0]))
         return [(int(d), float(s)) for d, s in out]
+
+    def snippets(self, doc_ids: list[int]) -> dict[int, str]:
+        """Display text per doc: the FIRST excerpt record, falling back to
+        the title when the document is too short to carry excerpts — the
+        reference's titles->excerpts retrieval fallback
+        (SearchHitItems.h:449-474). Reads `extracted` with doc_id predicate
+        pushdown; result docs only, never a corpus scan."""
+        import pyarrow.parquet as pq
+        if not doc_ids:
+            return {}
+        tbl = pq.read_table(f"{self.index_dir}/extracted",
+                            filters=[("doc_id", "in", list(doc_ids))],
+                            columns=["doc_id", "title", "excerpts"])
+        out = {}
+        for row in tbl.to_pylist():
+            ex = row["excerpts"] or []
+            out[int(row["doc_id"])] = ex[0] if ex else (row["title"] or "")
+        return out
 
 
 def bm25_topk_df(spark, index_dir: str, query: str, k: int = 10):
@@ -285,7 +370,9 @@ def bm25_topk_df(spark, index_dir: str, query: str, k: int = 10):
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    posts = blocks.mapInPandas(decode, schema="term_id long, doc_id long, tf long")
+    posts = (blocks.mapInPandas(
+        decode, schema="term_id long, doc_id long, tf long")
+        .filter(F.col("tf") > 0))  # anchor-/meta-only rows: not body matches
     docs = spark.read.parquet(f"{index_dir}/docs").select(
         "doc_id", "doc_len", "prior")
 

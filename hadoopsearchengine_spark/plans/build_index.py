@@ -47,22 +47,32 @@ from .manifest import Manifest, fingerprint
 DEFAULT_BLOCK_DOCS = 4096
 
 EXTRACTED_SCHEMA = ("doc_id long, url string, text string, title string, "
-                    "links array<string>")
-DOC_TERMS_SCHEMA = ("doc_id long, term string, tf int, positions array<int>, title_tf int")
+                    "links array<string>, anchors array<string>, "
+                    "img_alts array<string>, meta_keywords array<string>, "
+                    "excerpts array<string>")
+EXTRACTED_COLS = ["doc_id", "url", "text", "title", "links", "anchors",
+                  "img_alts", "meta_keywords", "excerpts"]
+DOC_TERMS_SCHEMA = ("doc_id long, term string, tf int, positions array<int>, "
+                    "title_tf int, meta_tf int, alt_tf int")
 POSTING_BLOCK_SCHEMA = (
     "term_id long, min_doc long, max_doc long, n_docs int, max_score double, "
-    "doc_gaps binary, tfs binary, positions binary, title_tfs binary")
+    "max_wscore double, doc_gaps binary, tfs binary, positions binary, "
+    "title_tfs binary, anchor_tfs binary, meta_tfs binary, alt_tfs binary")
 
 
 def _extract_batches(iterator):
-    """Arrow-batched kernel pass: (doc_id, url, html) -> EXTRACTED_SCHEMA."""
+    """Arrow-batched kernel pass: (doc_id, url, html) -> EXTRACTED_SCHEMA.
+    Carries the full field set the reference indexes: anchors (parallel to
+    links — anchor hits re-key to the TARGET doc downstream,
+    CompileHitList.h:316-319), img alts + meta keywords (hit weight fields,
+    Webpage.h:139-176) and excerpt records (DocumentInstance.h:129-160)."""
     for pdf in iterator:
         rows = []
         for doc_id, url, html in zip(pdf["doc_id"], pdf["url"], pdf["html"]):
             r = extract(html, url)
-            rows.append((doc_id, url, r.text, r.title, r.links))
-        yield pd.DataFrame(
-            rows, columns=["doc_id", "url", "text", "title", "links"])
+            rows.append((doc_id, url, r.text, r.title, r.links, r.anchors,
+                         r.img_alts, r.meta_keywords, r.excerpts))
+        yield pd.DataFrame(rows, columns=EXTRACTED_COLS)
 
 
 def _doc_terms_batches(iterator):
@@ -91,8 +101,8 @@ def _doc_terms_batches(iterator):
         yield pd.DataFrame({"doc_id": out_doc, "term": out_term,
                             "tf": out_tf, "positions": out_pos,
                             # body-only reference path (streaming token
-                            # counts); the build stage fills real title_tf
-                            "title_tf": 0})
+                            # counts); the build stage fills real field tfs
+                            "title_tf": 0, "meta_tf": 0, "alt_tf": 0})
 
 
 def _build_blocks(pdf: pd.DataFrame, block_docs: int) -> pd.DataFrame:
@@ -103,7 +113,11 @@ def _build_blocks(pdf: pd.DataFrame, block_docs: int) -> pd.DataFrame:
     doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
     tfs = pdf["tf"].to_numpy(dtype=np.int64)
     title_tfs = pdf["title_tf"].to_numpy(dtype=np.int64)
+    anchor_tfs = pdf["anchor_tf"].to_numpy(dtype=np.int64)
+    meta_tfs = pdf["meta_tf"].to_numpy(dtype=np.int64)
+    alt_tfs = pdf["alt_tf"].to_numpy(dtype=np.int64)
     scores = pdf["score"].to_numpy(dtype=np.float64)
+    wscores = pdf["wscore"].to_numpy(dtype=np.float64)
     positions = pdf["positions"].to_numpy()
     rows = []
     for start in range(0, len(doc_ids), block_docs):
@@ -115,14 +129,19 @@ def _build_blocks(pdf: pd.DataFrame, block_docs: int) -> pd.DataFrame:
         rows.append((
             term_id, int(blk_docs[0]), int(blk_docs[-1]), end - start,
             float(scores[start:end].max()),
+            float(wscores[start:end].max()),
             encode_deltas(blk_docs),
             encode_tfs(blk_tfs),
             encode_positions(blk_pos, blk_tfs),
             encode_tfs(title_tfs[start:end]),
+            encode_tfs(anchor_tfs[start:end]),
+            encode_tfs(meta_tfs[start:end]),
+            encode_tfs(alt_tfs[start:end]),
         ))
     return pd.DataFrame(rows, columns=[
-        "term_id", "min_doc", "max_doc", "n_docs", "max_score",
-        "doc_gaps", "tfs", "positions", "title_tfs"])
+        "term_id", "min_doc", "max_doc", "n_docs", "max_score", "max_wscore",
+        "doc_gaps", "tfs", "positions", "title_tfs", "anchor_tfs",
+        "meta_tfs", "alt_tfs"])
 
 
 STAGE_TIMINGS: dict[str, float] = {}  # wall seconds of the last run's stages
@@ -181,8 +200,8 @@ def build_index(spark, pages: DataFrame | str, index_dir: str, *,
                            head_df_threshold, n_buckets, pagerank_iters,
                            content_sig)
     paths = {s: f"{index_dir}/{s}" for s in
-             ("docs_ids", "extracted", "doc_terms", "terms", "links",
-              "docs", "postings", "stats")}
+             ("docs_ids", "extracted", "doc_terms", "anchor_terms", "terms",
+              "links", "docs", "postings", "stats")}
 
     # -- docs_ids: dense rank over url ------------------------------------
     def w_docs_ids(out):
@@ -220,16 +239,36 @@ def build_index(spark, pages: DataFrame | str, index_dir: str, *,
                 .groupBy("doc_id", "term")
                 .agg(F.count("*").cast("int").alias("tf"),
                      F.sort_array(F.collect_list("pos")).alias("positions")))
-        # per-field term frequency: title hits (the reference's title-hit
-        # type bits, FileStorage.h:205-274; title terms also appear in the
-        # body stream since extracted text includes the title segment)
+        # per-field term frequencies (the reference's hit type bits,
+        # FileStorage.h:205-274 / weights Webpage.h:139-176). title and
+        # img-alt terms also appear in the body stream (extracted text
+        # includes both segments) -> left joins; meta keywords are NOT body
+        # text -> full outer merge, producing tf=0 rows so meta-only hits
+        # stay retrievable under field-weighted scoring.
+        def field_tf(col, alias):
+            return (extracted
+                    .select("doc_id", F.explode(col).alias("chunk"))
+                    .select("doc_id",
+                            F.explode(tokens_col(F.col("chunk")))
+                            .alias("term"))
+                    .groupBy("doc_id", "term")
+                    .agg(F.count("*").cast("int").alias(alias)))
         title = (extracted
                  .select("doc_id",
                          F.explode(tokens_col(F.col("title"))).alias("term"))
                  .groupBy("doc_id", "term")
                  .agg(F.count("*").cast("int").alias("title_tf")))
+        alts = field_tf(F.col("img_alts"), "alt_tf")
+        meta = field_tf(F.col("meta_keywords"), "meta_tf")
         df = (body.join(title, ["doc_id", "term"], "left")
-              .fillna(0, subset=["title_tf"]))
+              .join(alts, ["doc_id", "term"], "left")
+              .join(meta, ["doc_id", "term"], "full_outer")
+              .fillna(0, subset=["tf", "title_tf", "meta_tf", "alt_tf"])
+              .withColumn("positions",
+                          F.coalesce(F.col("positions"),
+                                     F.array().cast("array<int>")))
+              .select("doc_id", "term", "tf", "positions", "title_tf",
+                      "meta_tf", "alt_tf"))
         df.write.mode("overwrite").parquet(out)
         return n_pages
     _stage(m, "doc_terms", base_ref, paths["doc_terms"], w_doc_terms, resume)
@@ -252,12 +291,48 @@ def _finish_index(spark, m: Manifest, base_ref: str, paths: dict,
     extracted = spark.read.parquet(paths["extracted"])
     doc_terms = spark.read.parquet(paths["doc_terms"])
 
+    # -- anchor_terms: anchor text re-keyed to the TARGET doc ---------------
+    # (the reference writes anchor hits against the destination document,
+    # CompileHitList.h:316-319; the classic web-relevance signal). Derived
+    # from (extracted, docs_ids) — NOT carried through shard doc_terms —
+    # because links resolve across shard boundaries only after a merge, so
+    # merge_indexes re-runs this stage on the union (like the link graph).
+    def w_anchor_terms(out):
+        from ..functions.text import tokens_col
+        hits = (extracted
+                .select(F.col("doc_id").alias("src"),
+                        F.explode(F.arrays_zip("links", "anchors"))
+                        .alias("la"))
+                .select("src", F.col("la.links").alias("link"),
+                        F.col("la.anchors").alias("anchor"))
+                .join(docs_ids.select(F.col("url").alias("link"),
+                                      F.col("doc_id").alias("dst")), "link")
+                .filter(F.col("src") != F.col("dst")))
+        at = (hits.select(F.col("dst").alias("doc_id"),
+                          F.explode(tokens_col(F.col("anchor")))
+                          .alias("term"))
+              .groupBy("doc_id", "term")
+              .agg(F.count("*").cast("int").alias("anchor_tf")))
+        at.write.mode("overwrite").parquet(out)
+        return -1
+    _stage(m, "anchor_terms", base_ref, paths["anchor_terms"],
+           w_anchor_terms, resume)
+    anchor_terms = spark.read.parquet(paths["anchor_terms"])
+
     # -- terms: dictionary + df/cf + dense ids ------------------------------
+    # df/cf are BODY statistics (df counts tf>0 rows — meta-only doc_terms
+    # rows don't inflate idf); the dictionary itself covers every term seen
+    # in ANY stream so anchor-/meta-only terms stay retrievable.
     def w_terms(out):
-        stats = doc_terms.groupBy("term").agg(
-            F.count("*").alias("df"), F.sum("tf").alias("cf"))
-        assign_dense_ids(stats, "term", "term_id", p).write.mode(
-            "overwrite").parquet(out)
+        stats = (doc_terms.groupBy("term")
+                 .agg(F.count(F.when(F.col("tf") > 0, 1)).alias("df"),
+                      F.sum("tf").alias("cf")))
+        anchor_only = (anchor_terms.select("term").distinct()
+                       .join(stats.select("term"), "term", "left_anti")
+                       .select("term", F.lit(0).cast("long").alias("df"),
+                               F.lit(0).cast("long").alias("cf")))
+        assign_dense_ids(stats.unionByName(anchor_only), "term", "term_id",
+                         p).write.mode("overwrite").parquet(out)
         return -1
     _stage(m, "terms", base_ref, paths["terms"], w_terms, resume)
     terms = spark.read.parquet(paths["terms"])
@@ -287,8 +362,12 @@ def _finish_index(spark, m: Manifest, base_ref: str, paths: dict,
                 .fillna(0, subset=["doc_len"]))
         pr = pagerank(links, n_pages, docs_ids.select("doc_id"),
                       iterations=pagerank_iters, num_partitions=p)
-        (base.join(pr, "doc_id")
-         .select("doc_id", "url", "doc_len",
+        # text_fp: content checksum for the query-time duplicate cut
+        # (reference CompileRankedList.h:206-242 removes checksum-identical
+        # results from the ranked list)
+        fp = extracted.select("doc_id", F.xxhash64("text").alias("text_fp"))
+        (base.join(pr, "doc_id").join(fp, "doc_id")
+         .select("doc_id", "url", "doc_len", "text_fp",
                  (F.col("pagerank") * F.lit(float(n_pages))).alias("prior"))
          .write.mode("overwrite").parquet(out))
         return n_pages
@@ -308,24 +387,47 @@ def _finish_index(spark, m: Manifest, base_ref: str, paths: dict,
     # -- postings: scored, salted, blocked -----------------------------------
     def w_postings(out):
         bucket_span = max(1, math.ceil(n_docs / n_buckets))
+
+        def contrib_col(tf_col):
+            return (F.col("idf") * tf_col * F.lit(bm25.K1 + 1.0)
+                    / (tf_col + F.lit(bm25.K1)
+                       * (F.lit(1.0 - bm25.B) + F.lit(bm25.B)
+                          * F.col("doc_len") / F.lit(avgdl))))
+
+        # full outer merge with the anchor stream: docs hit ONLY via anchor
+        # text get tf=0 rows (score 0 under plain BM25 — rank-neutral — but
+        # retrievable under field-weighted scoring, the reference's
+        # first-class anchor hits)
+        merged = (doc_terms
+                  .join(anchor_terms, ["doc_id", "term"], "full_outer")
+                  .fillna(0, subset=["tf", "title_tf", "meta_tf", "alt_tf",
+                                     "anchor_tf"])
+                  .withColumn("positions",
+                              F.coalesce(F.col("positions"),
+                                         F.array().cast("array<int>"))))
+        wtf = (F.col("tf")
+               + F.lit(bm25.W_TITLE - 1.0) * F.col("title_tf")
+               + F.lit(bm25.W_ANCHOR) * F.col("anchor_tf")
+               + F.lit(bm25.W_META) * F.col("meta_tf")
+               + F.lit(bm25.W_IMG - 1.0) * F.col("alt_tf"))
         scored = (
-            doc_terms
+            merged
             .join(terms.select("term", "term_id", "df"), "term")
             .join(docs.select("doc_id", "doc_len", "prior"), "doc_id")
             .withColumn("idf", F.log(
                 (F.lit(float(n_docs)) - F.col("df") + 0.5)
                 / (F.col("df") + 0.5) + 1.0))
-            .withColumn("score", F.col("prior") * F.col("idf")
-                        * F.col("tf") * F.lit(bm25.K1 + 1.0)
-                        / (F.col("tf") + F.lit(bm25.K1)
-                           * (F.lit(1.0 - bm25.B) + F.lit(bm25.B)
-                              * F.col("doc_len") / F.lit(avgdl))))
+            .withColumn("score", F.col("prior") * contrib_col(F.col("tf")))
+            # field-weighted score: its block max is the rank-exact pruning
+            # bound for the field_boost query variant
+            .withColumn("wscore", F.col("prior") * contrib_col(wtf))
             .withColumn("bucket", F.when(
                 F.col("df") > head_df_threshold,
                 (F.col("doc_id") / F.lit(bucket_span)).cast("long"))
                 .otherwise(F.lit(0)))
             .select("term_id", "bucket", "doc_id", "tf", "positions",
-                    "title_tf", "score"))
+                    "title_tf", "anchor_tf", "meta_tf", "alt_tf",
+                    "score", "wscore"))
         blocks = scored.groupBy("term_id", "bucket").applyInPandas(
             lambda pdf: _build_blocks(pdf, block_docs),
             schema=POSTING_BLOCK_SCHEMA)

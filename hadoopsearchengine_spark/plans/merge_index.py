@@ -11,11 +11,13 @@ merge with re-keyed ids). A merge of K shards:
    (extraction — the dominant build cost — is NOT repeated)
 3. doc_terms       = union of shard `doc_terms`, re-keyed the same way
    (tokenization is NOT repeated either)
-4. terms/links/docs(PageRank)/postings = the standard downstream stages over
-   the unioned inputs. Links MUST be re-resolved from extracted.links against
-   the union url set: a shard drops links whose targets were crawled by a
-   different shard, so shard link graphs are not unionable. PageRank is not
-   shard-mergeable at all (global fixpoint) and re-runs on the merged graph.
+4. anchor_terms/terms/links/docs(PageRank)/postings = the standard downstream
+   stages over the unioned inputs. Links AND anchor hits MUST be re-resolved
+   from extracted against the union url set: a shard drops links (and the
+   anchor text keyed to them) whose targets were crawled by a different
+   shard, so neither shard link graphs nor shard anchor streams are
+   unionable. PageRank is not shard-mergeable at all (global fixpoint) and
+   re-runs on the merged graph.
 
 Equivalence guarantee (tested): merge(shards of a disjoint partition of the
 corpus) == build(full corpus), content-identical for docs/terms/postings/
@@ -54,8 +56,8 @@ def merge_indexes(spark, shard_dirs: list[str], index_dir: str, *,
     base_ref = fingerprint("merge", sorted(shard_dirs), block_docs,
                            head_df_threshold, n_buckets, pagerank_iters)
     paths = {s: f"{index_dir}/{s}" for s in
-             ("docs_ids", "extracted", "doc_terms", "terms", "links",
-              "docs", "postings", "stats")}
+             ("docs_ids", "extracted", "doc_terms", "anchor_terms", "terms",
+              "links", "docs", "postings", "stats")}
 
     def shard_union(table: str):
         df = spark.read.parquet(f"{shard_dirs[0]}/{table}")
@@ -106,7 +108,8 @@ def merge_indexes(spark, shard_dirs: list[str], index_dir: str, *,
         (ex.join(docs_ids, "url")
          .withColumn("_rn", F.row_number().over(w))
          .filter(F.col("_rn") == 1)
-         .select("doc_id", "url", "text", "title", "links")
+         .select("doc_id", "url", "text", "title", "links", "anchors",
+                 "img_alts", "meta_keywords", "excerpts")
          .write.mode("overwrite").parquet(out))
         return n_pages
     _stage(m, "extracted", base_ref, paths["extracted"], w_extracted, resume)
@@ -129,7 +132,7 @@ def merge_indexes(spark, shard_dirs: list[str], index_dir: str, *,
                  .select("_shard", "_old_id"))
         (joined.join(owner, ["_shard", "_old_id"], "left_semi")
          .select(F.col("_new_id").alias("doc_id"), "term", "tf", "positions",
-                 "title_tf")
+                 "title_tf", "meta_tf", "alt_tf")
          .write.mode("overwrite").parquet(out))
         return n_pages
     _stage(m, "doc_terms", base_ref, paths["doc_terms"], w_doc_terms, resume)

@@ -53,6 +53,10 @@ class OracleIndex:
         self.doc_len = np.zeros(n, dtype=np.int64)
         self.postings: dict[str, list[tuple[int, int, list[int]]]] = {}
         self.title_tf: dict[tuple[str, int], int] = {}
+        self.meta_tf: dict[tuple[str, int], int] = {}
+        self.alt_tf: dict[tuple[str, int], int] = {}
+        self.anchor_tf: dict[tuple[str, int], int] = {}
+        self.excerpts: dict[int, list[str]] = {}
         raw_edges: list[tuple[int, int, bool]] = []  # (src, dst, affiliated)
         self.texts: dict[int, str] = {}
 
@@ -60,6 +64,7 @@ class OracleIndex:
             did = self.doc_id[p["url"]]
             res = extract(p["html"], p["url"])
             self.texts[did] = res.text
+            self.excerpts[did] = res.excerpts
             toks = tokenize(res.text)
             self.doc_len[did] = len(toks)
             per_term: dict[str, list[int]] = {}
@@ -70,22 +75,37 @@ class OracleIndex:
                     (did, len(positions), positions))
             for t in tokenize(res.title):
                 self.title_tf[(t, did)] = self.title_tf.get((t, did), 0) + 1
+            for kw in res.meta_keywords:
+                for t in tokenize(kw):
+                    self.meta_tf[(t, did)] = self.meta_tf.get((t, did), 0) + 1
+            for alt in res.img_alts:
+                for t in tokenize(alt):
+                    self.alt_tf[(t, did)] = self.alt_tf.get((t, did), 0) + 1
             src_dom = _domain(p["url"])
-            for link in res.links:
+            for link, anchor in zip(res.links, res.anchors):
                 dst = self.doc_id.get(link)
                 if dst is None or dst == did:
                     continue
                 raw_edges.append((did, dst, _domain(link) == src_dom))
+                # anchor hits re-key to the TARGET doc
+                # (CompileHitList.h:316-319)
+                for t in tokenize(anchor):
+                    self.anchor_tf[(t, dst)] = (
+                        self.anchor_tf.get((t, dst), 0) + 1)
 
         for t in self.postings:
             self.postings[t].sort(key=lambda x: x[0])
 
-        terms_sorted = sorted(self.postings)
+        # dictionary covers every stream; df/cf stay BODY statistics
+        all_terms = set(self.postings)
+        all_terms.update(t for t, _ in self.meta_tf)
+        all_terms.update(t for t, _ in self.anchor_tf)
+        terms_sorted = sorted(all_terms)
         self.term_id = {t: i for i, t in enumerate(terms_sorted)}
         self.terms = terms_sorted
-        self.df = {t: len(pl) for t, pl in self.postings.items()}
-        self.cf = {t: sum(tf for _, tf, _ in pl)
-                   for t, pl in self.postings.items()}
+        self.df = {t: len(self.postings.get(t, ())) for t in terms_sorted}
+        self.cf = {t: sum(tf for _, tf, _ in self.postings.get(t, ()))
+                   for t in terms_sorted}
         self.n_docs = n
         self.avgdl = float(self.doc_len.mean()) if n else 0.0
 
@@ -204,3 +224,40 @@ def _bm25_topk_title(self, query, k=10):
 
 
 OracleIndex.bm25_topk_title = _bm25_topk_title
+
+
+def _bm25_topk_fields(self, query, k=10):
+    """Full field-weighted variant (kernel.bm25.weighted_tf): title, anchor,
+    meta-keyword and img-alt streams on top of body tf. Docs hit ONLY via
+    anchor/meta text (body tf = 0) are candidates — the reference's
+    first-class anchor hits keyed to the target doc."""
+    qterms = sorted(set(tokenize(query)))
+    scores: dict[int, float] = {}
+    for t in qterms:
+        if t not in self.term_id:
+            continue
+        t_idf = float(bm25.idf(self.df.get(t, 0), self.n_docs))
+        cands = {did: tf for did, tf, _ in self.postings.get(t, ())}
+        for (tt, did) in self.anchor_tf:
+            if tt == t and did not in cands:
+                cands[did] = 0
+        for (tt, did) in self.meta_tf:
+            if tt == t and did not in cands:
+                cands[did] = 0
+        for did, tf in cands.items():
+            wtf = bm25.weighted_tf(
+                tf,
+                self.title_tf.get((t, did), 0),
+                self.anchor_tf.get((t, did), 0),
+                self.meta_tf.get((t, did), 0),
+                self.alt_tf.get((t, did), 0))
+            c = bm25.contrib_scalar(wtf, float(self.doc_len[did]),
+                                    self.avgdl, t_idf)
+            scores[did] = scores.get(did, 0.0) + c
+    ranked = sorted(
+        ((did, self.prior[did] * sc) for did, sc in scores.items()),
+        key=lambda x: (-x[1], x[0]))
+    return ranked[:k]
+
+
+OracleIndex.bm25_topk_fields = _bm25_topk_fields

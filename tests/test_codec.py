@@ -56,6 +56,24 @@ def test_positions_roundtrip():
     assert np.array_equal(codec.decode_positions(buf, counts), pos)
 
 
+def test_positions_roundtrip_with_zero_count_docs():
+    """tf=0 posting rows (anchor-/meta-only hits) own no positions: zero
+    counts anywhere — including leading/trailing — must round-trip."""
+    rng = np.random.default_rng(17)
+    counts = rng.integers(0, 5, size=200)
+    counts[0] = 0
+    counts[-1] = 0
+    pos = np.concatenate([
+        np.sort(rng.choice(10000, size=c, replace=False))
+        for c in counts]) if counts.sum() else np.array([], dtype=np.int64)
+    buf = codec.encode_positions(pos, counts)
+    assert np.array_equal(codec.decode_positions(buf, counts), pos)
+    # all-zero counts: empty payload, empty decode
+    z = np.zeros(5, dtype=np.int64)
+    assert codec.decode_positions(
+        codec.encode_positions(np.array([], dtype=np.int64), z), z).size == 0
+
+
 if HAVE_HYP:
     @given(st.lists(st.integers(min_value=0, max_value=2**63 - 1),
                     min_size=0, max_size=500))

@@ -62,7 +62,8 @@ def test_stats(tables, oracle_index):
 def test_postings_decode_to_oracle(tables, oracle_index):
     """Every term's blocks concatenate to exactly the oracle posting list
     (doc ids, tfs, positions), doc-sorted — the TestSortHitList invariant
-    plus full content equality."""
+    plus full content equality. Body rows are the tf>0 entries; tf=0 rows
+    are anchor-/meta-only hits checked in test_field_streams_decode."""
     terms = tables["terms"]
     tid_to_term = dict(zip(terms["term_id"], terms["term"]))
     blocks = tables["postings"].sort_values(["term_id", "block_no"])
@@ -88,14 +89,39 @@ def test_postings_decode_to_oracle(tables, oracle_index):
         ids = np.concatenate(ids)
         tfs = np.concatenate(tfs)
         poss = np.concatenate(poss)
-        want = oracle_index.postings[term]
-        want_ids = np.array([d for d, _, _ in want])
-        want_tfs = np.array([t for _, t, _ in want])
-        want_pos = np.concatenate([p for _, _, p in want])
-        np.testing.assert_array_equal(ids, want_ids, err_msg=term)
-        np.testing.assert_array_equal(tfs, want_tfs, err_msg=term)
+        body = tfs > 0
+        want = oracle_index.postings.get(term, [])
+        want_ids = np.array([d for d, _, _ in want], dtype=np.int64)
+        want_tfs = np.array([t for _, t, _ in want], dtype=np.int64)
+        want_pos = (np.concatenate([p for _, _, p in want])
+                    if want else np.array([], dtype=np.int64))
+        np.testing.assert_array_equal(ids[body], want_ids, err_msg=term)
+        np.testing.assert_array_equal(tfs[body], want_tfs, err_msg=term)
         np.testing.assert_array_equal(poss, want_pos, err_msg=term)
     assert seen_terms == set(oracle_index.terms)
+
+
+def test_field_streams_decode(tables, oracle_index):
+    """title/anchor/meta/img-alt per-posting streams decode to exactly the
+    oracle's field tf maps (anchor hits keyed to the TARGET doc,
+    CompileHitList.h:316-319; weight fields Webpage.h:139-176)."""
+    terms = tables["terms"]
+    tid_to_term = dict(zip(terms["term_id"], terms["term"]))
+    blocks = tables["postings"].sort_values(["term_id", "block_no"])
+    got = {f: {} for f in ("title", "anchor", "meta", "alt")}
+    for _, b in blocks.iterrows():
+        term = tid_to_term[b["term_id"]]
+        bids = decode_deltas(b["doc_gaps"])
+        for f, col in (("title", "title_tfs"), ("anchor", "anchor_tfs"),
+                       ("meta", "meta_tfs"), ("alt", "alt_tfs")):
+            vals = decode_tfs(b[col]).astype(np.int64)
+            for did, v in zip(bids, vals):
+                if v:
+                    got[f][(term, int(did))] = int(v)
+    assert got["title"] == oracle_index.title_tf
+    assert got["anchor"] == oracle_index.anchor_tf
+    assert got["meta"] == oracle_index.meta_tf
+    assert got["alt"] == oracle_index.alt_tf
 
 
 def test_block_max_scores(tables, oracle_index):

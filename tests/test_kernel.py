@@ -73,6 +73,44 @@ def test_extract_adversarial():
         assert isinstance(r.text, str)
 
 
+def test_excerpt_segmentation_bounds():
+    """Excerpt records obey the reference bounds (DocumentInstance.h:
+    20-23,129-160): span <= 1600 chars, >= 2 sentences, >= 512 chars; short
+    docs yield none; deterministic."""
+    from hadoopsearchengine_spark.kernel.htmlx import (
+        EXCERPT_MIN_CHARS, EXCERPT_MIN_SENTENCES, EXCERPT_SPAN,
+        segment_excerpts)
+    # short doc: no excerpts
+    assert segment_excerpts("Too short. Really.") == []
+    assert segment_excerpts("") == []
+    # long doc: excerpts within bounds
+    sents = [f"Sentence number {i} carries some filler words to grow." for i
+             in range(400)]
+    text = " ".join(sents)
+    ex = segment_excerpts(text)
+    assert len(ex) >= 2
+    for e in ex:
+        assert len(e) <= EXCERPT_SPAN
+        assert len(e) >= EXCERPT_MIN_CHARS
+        assert e.count(".") >= EXCERPT_MIN_SENTENCES
+        assert e in text  # excerpts are verbatim spans
+    assert segment_excerpts(text) == ex  # deterministic
+    # one-giant-sentence doc (no '. ' boundary): single oversized sentence
+    # cannot meet the >=2-sentence rule -> no excerpts, no crash
+    assert segment_excerpts("x" * 5000) == []
+
+
+def test_excerpts_present_in_extraction(pages_local):
+    """extract() fills excerpts for normal pages; they re-derive from text."""
+    from hadoopsearchengine_spark.kernel.htmlx import segment_excerpts
+    n_with = 0
+    for p in pages_local[:100]:
+        r = extract(p["html"], p["url"])
+        assert r.excerpts == segment_excerpts(r.text)
+        n_with += bool(r.excerpts)
+    assert n_with > 30  # most synthetic pages are long enough
+
+
 def test_clean_link_invalid_ipv6_dropped():
     # urlsplit raises ValueError on these; extract() must drop the link,
     # never raise (ADVICE r1: one adversarial page killed the build stage).

@@ -105,3 +105,112 @@ def test_title_boost_rank_identical_to_oracle(engine, oracle_index):
     a = engine.search("cold war", k=10, title_boost=True, proximity=True)
     b = engine.search("cold war", k=10, title_boost=True, proximity=True)
     assert a == b
+
+
+def test_field_boost_rank_identical_to_oracle(engine, oracle_index):
+    """Full field weighting (title/anchor/meta/img-alt, Webpage.h:139-176)
+    must match the oracle fields variant — including docs retrievable ONLY
+    via anchor/meta hits — with rank-exact pruning via max_wscore."""
+    import numpy as np
+    changed = 0
+    for query in REFERENCE_QUERIES:
+        got = engine.search(query, k=10, field_boost=True)
+        want = oracle_index.bm25_topk_fields(query, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], query
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-6
+        assert got == engine.search(query, k=10, field_boost=True,
+                                    prune=False), query
+        if [d for d, _ in got] != [d for d, _ in engine.search(query, k=10)]:
+            changed += 1
+    assert changed >= 1, "field weights should reorder at least one query"
+    # fuzz over vocabulary incl. anchor-only terms
+    rng = np.random.default_rng(7)
+    vocab = oracle_index.terms
+    for _ in range(25):
+        q = " ".join(vocab[int(rng.integers(0, len(vocab)))]
+                     for _ in range(int(rng.integers(1, 4))))
+        got = engine.search(q, k=10, field_boost=True)
+        want = oracle_index.bm25_topk_fields(q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+
+
+def test_anchor_only_docs_retrievable(engine, oracle_index):
+    """A term hit only via anchor text on some doc must retrieve that doc
+    under field_boost (the reference's first-class anchor hits) and must NOT
+    retrieve it under plain body BM25."""
+    # find a (term, doc) where the doc has anchor hits but no body tf
+    body_docs = {t: {d for d, _, _ in pl}
+                 for t, pl in oracle_index.postings.items()}
+    found = None
+    for (t, did) in oracle_index.anchor_tf:
+        if did not in body_docs.get(t, set()):
+            found = (t, did)
+            break
+    assert found, "fixture corpus should contain anchor-only hits"
+    t, did = found
+    got_f = {d for d, _ in engine.search(t, k=oracle_index.n_docs,
+                                         field_boost=True)}
+    got_p = {d for d, _ in engine.search(t, k=oracle_index.n_docs)}
+    assert did in got_f
+    assert did not in got_p
+
+
+def test_spam_cap_zeroes_stuffed_docs(engine, oracle_index):
+    """spam_cap must zero docs with a matched body tf > SPAM_TF_CAP
+    (HitScore.h:250-253) and leave other rankings untouched."""
+    from hadoopsearchengine_spark.kernel import bm25
+    # oracle replica: plain BM25 but stuffed docs zeroed
+    def oracle_spam(query, k):
+        want = oracle_index.bm25_topk(query, k=oracle_index.n_docs)
+        stuffed = set()
+        from hadoopsearchengine_spark.kernel.tokenize import tokenize
+        for t in sorted(set(tokenize(query))):
+            for did, tf, _ in oracle_index.postings.get(t, ()):
+                if tf > bm25.SPAM_TF_CAP:
+                    stuffed.add(did)
+        kept = [(d, s) for d, s in want if d not in stuffed]
+        zeroed = sorted((d for d, _ in want if d in stuffed))
+        return (kept + [(d, 0.0) for d in zeroed])[:k]
+    checked = 0
+    for query in REFERENCE_QUERIES:
+        got = engine.search(query, k=10, spam_cap=True)
+        want = oracle_spam(query, 10)
+        assert [d for d, _ in got] == [d for d, _ in want], query
+        if got != engine.search(query, k=10):
+            checked += 1
+    # graded planting (tf up to 8 * len(qterms)) may or may not cross 45;
+    # the contract holds either way, reordering is evidence when present
+    assert checked >= 0
+
+
+def test_dedup_collapses_checksum_identical_docs(engine, oracle_index):
+    """dedup=True must keep only the best-ranked doc per text checksum
+    (CompileRankedList.h:206-242). The synthetic corpus plants no exact dup
+    pages, so assert the invariant: no two results share a fingerprint, and
+    results are a subsequence of the non-dedup ranking."""
+    for query in REFERENCE_QUERIES[:4]:
+        got = engine.search(query, k=10, dedup=True)
+        fps = [int(engine.text_fp[d]) for d, _ in got]
+        assert len(fps) == len(set(fps))
+        base = [d for d, _ in engine.search(query, k=4 * 10 + 8)]
+        it = iter(base)
+        assert all(d in it for d, _ in got), query
+
+
+def test_snippets_first_excerpt_or_title(engine, oracle_index):
+    """Doc text retrieval: snippets() returns the first excerpt record, or
+    the title for docs too short to carry excerpts
+    (SearchHitItems.h:449-474 fallback)."""
+    got = engine.search("global warming", k=10)
+    ids = [d for d, _ in got]
+    sn = engine.snippets(ids)
+    assert set(sn) == set(ids)
+    for did in ids:
+        ex = oracle_index.excerpts.get(did) or []
+        if ex:
+            assert sn[did] == ex[0], did
+        else:
+            assert isinstance(sn[did], str)
+    # at least one result should carry a real excerpt
+    assert any((oracle_index.excerpts.get(d) or []) for d in ids)
