@@ -243,14 +243,22 @@ def q_txt_ngram_jaccard(spark, sf):
         load(spark, sf, "documents"), "text", "doc_id", threshold=0.5)
 
 
+SIMHASH_BITS = 60  # md5 mode: any-engine-reproducible -> real SQL oracle
+
+
 def q_txt_simhash(spark, sf):
-    """SimHash near-dup signatures (rows-only: xxhash64 is Spark-specific)."""
-    return dedup.simhash(load(spark, sf, "documents"), "text", "doc_id")
+    """SimHash signatures in md5 mode (bit b from nibble b//4 of the md5 hex
+    digest) — DuckDB recomputes the identical signature, so this op has a
+    full value oracle (r1 had rows-only with Spark-specific xxhash64)."""
+    return dedup.simhash(load(spark, sf, "documents"), "text", "doc_id",
+                         bits=SIMHASH_BITS, hash_fn="md5")
 
 
 def q_txt_simhash_pairs(spark, sf):
-    sig = dedup.simhash(load(spark, sf, "documents"), "text", "doc_id")
-    return dedup.simhash_near_pairs(sig, "doc_id", max_hamming=6)
+    sig = dedup.simhash(load(spark, sf, "documents"), "text", "doc_id",
+                        bits=SIMHASH_BITS, hash_fn="md5")
+    return dedup.simhash_near_pairs(sig, "doc_id", max_hamming=6,
+                                    bits=SIMHASH_BITS)
 
 
 BM25_QUERY_TERMS = ["merge", "shuffle", "spark"]
@@ -1105,6 +1113,87 @@ def oracle_sql() -> dict[str, str]:
             WHERE f.n_tokens >= 40
               AND f.stop >= f.n_tokens * 0.02
               AND (f.n_tokens > 0 AND f.stop * 1.0 / f.n_tokens >= 0.08)"""
+    # sim_ann_lsh: the hyperplanes are seeded numpy draws — embed them as SQL
+    # literals so DuckDB reproduces the exact buckets (sign of float64 dots;
+    # min |dot| margin ~1e-4 on this data, far above summation-order ulp),
+    # then candidate pairs + exact cosine + rank, mirroring the Spark plan.
+    import numpy as np
+    plane_rows = []
+    for t in range(4):                      # n_tables=4 (similarity default)
+        rng = np.random.Generator(np.random.PCG64(42 + 1000 * t))
+        planes = rng.standard_normal((6, 64))   # n_planes=6, dim=64
+        for j in range(6):
+            for i in range(64):
+                plane_rows.append(f"({t},{j},{i + 1},{planes[j, i]!r})")
+    _planes_sql = ("(SELECT * FROM (VALUES " + ", ".join(plane_rows)
+                   + ") AS p(t, j, i, val))")
+    sql['sim_ann_lsh'] = f"""
+            WITH planes AS {_planes_sql},
+            ev AS (SELECT vec_id, unnest(embedding) AS e,
+                          generate_subscripts(embedding, 1) AS i
+                   FROM embeddings),
+            pd AS (SELECT v.vec_id, p.t, p.j,
+                          sum(CAST(v.e AS DOUBLE) * p.val) AS dot
+                   FROM ev v JOIN planes p ON v.i = p.i
+                   GROUP BY 1, 2, 3),
+            bk AS (SELECT vec_id, t,
+                          sum(CASE WHEN dot > 0 THEN 1 << j ELSE 0 END)
+                              AS bucket
+                   FROM pd GROUP BY 1, 2),
+            cand AS (SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS n_id
+                     FROM bk q JOIN bk n
+                          ON q.t = n.t AND q.bucket = n.bucket
+                         AND q.vec_id != n.vec_id
+                     WHERE q.vec_id < 10),
+            el AS (SELECT c.q_id, c.n_id,
+                          unnest(a.embedding) AS qe, unnest(b.embedding) AS ne
+                   FROM cand c
+                   JOIN embeddings a ON a.vec_id = c.q_id
+                   JOIN embeddings b ON b.vec_id = c.n_id),
+            dots AS (SELECT q_id, n_id,
+                            sum(CAST(qe AS DOUBLE) * CAST(ne AS DOUBLE)) AS dot,
+                            sqrt(sum(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE))) AS nq,
+                            sqrt(sum(CAST(ne AS DOUBLE) * CAST(ne AS DOUBLE))) AS nn
+                     FROM el GROUP BY 1, 2),
+            ranked AS (SELECT q_id, n_id, dot / (nq * nn) AS c,
+                              row_number() OVER (PARTITION BY q_id
+                                  ORDER BY dot / (nq * nn) DESC, n_id ASC)
+                                  AS rank
+                       FROM dots)
+            SELECT q_id, rank, n_id, round(c, 6) AS cosine
+            FROM ranked WHERE rank <= 5"""
+    # SimHash md5 mode: bit b of the signature = sign of the vote sum over
+    # token occurrences, vote from nibble b//4 bit b%4 of md5(token) — every
+    # step discrete and engine-agnostic.
+    _simhash_votes = ", ".join(
+        f"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, {b // 4 + 1},"
+        f" 1)) - 1) >> {b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS))
+    _simhash_fold = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS))
+    _simhash_sig_cte = f"""
+            {_TOKS_CTE},
+            th AS (SELECT doc_id, md5(token) AS h FROM tok),
+            v AS (SELECT doc_id, {_simhash_votes} FROM th GROUP BY 1),
+            sig AS (SELECT doc_id,
+                           CAST({_simhash_fold} AS BIGINT) AS simhash
+                    FROM v)"""
+    sql['txt_simhash'] = f"""
+            WITH {_simhash_sig_cte}
+            SELECT doc_id, simhash FROM sig"""
+    _w = SIMHASH_BITS // 4
+    sql['txt_simhash_pairs'] = f"""
+            WITH {_simhash_sig_cte},
+            blocks AS (SELECT doc_id, simhash, p,
+                              (simhash >> (p * {_w})) & {(1 << _w) - 1} AS k
+                       FROM sig, (SELECT unnest([0, 1, 2, 3]) AS p)),
+            cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+                            a.simhash AS sa, b.simhash AS sb
+                     FROM blocks a JOIN blocks b
+                          ON a.p = b.p AND a.k = b.k AND a.doc_id < b.doc_id)
+            SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+            FROM cand WHERE bit_count(xor(sa, sb)) <= 6"""
     sql['txt_anchor_terms'] = f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
             n AS (SELECT count(*) AS n FROM documents),

@@ -114,19 +114,34 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str,
-            bits: int = 64) -> DataFrame:
-    """64-bit SimHash over tokens: bit b of the signature is the sign of
-    sum over distinct tokens of (tf-weight=1) * (bit b of xxhash64(token)
-    ? +1 : -1). Pure bitwise JVM expressions, no UDF."""
+            bits: int = 64, hash_fn: str = "xxhash64") -> DataFrame:
+    """SimHash over tokens: bit b of the signature is the sign of the sum
+    over token occurrences of (bit b of hash(token) ? +1 : -1). Pure bitwise
+    JVM expressions, no UDF.
+
+    hash_fn="xxhash64" (default, fast JVM hash, 64 bits) or "md5" — bit b
+    taken from nibble b//4 of the md5 hex digest, any-engine-reproducible so
+    the DuckDB oracle recomputes it exactly (bits <= 60 in md5 mode: a set
+    bit 63 would not fit a signed BIGINT on the SQL side)."""
     from .text import tokens_col
     toks = df.select(F.col(id_col),
                      F.explode(tokens_col(F.col(text_col))).alias("tok"))
-    h = F.xxhash64("tok")
     one = F.lit(1).cast("long")
+    if hash_fn == "md5":
+        if bits > 60:
+            raise ValueError("md5 mode supports at most 60 bits")
+        h = F.md5("tok")
+
+        def hbit(b):
+            nib = F.conv(F.substring(h, b // 4 + 1, 1), 16, 10).cast("int")
+            return F.shiftright(nib, b % 4).bitwiseAND(F.lit(1))
+    else:
+        hx = F.xxhash64("tok")
+
+        def hbit(b):
+            return F.shiftright(hx, b).bitwiseAND(one)
     vote_cols = [
-        F.sum(F.when(
-            F.shiftright(h, b).bitwiseAND(one) != 0, 1).otherwise(-1))
-        .alias(f"v{b}")
+        F.sum(F.when(hbit(b) != 0, 1).otherwise(-1)).alias(f"v{b}")
         for b in range(bits)
     ]
     votes = toks.groupBy(id_col).agg(*vote_cols)
@@ -139,13 +154,17 @@ def simhash(df: DataFrame, text_col: str, id_col: str,
 
 
 def simhash_near_pairs(sig_df: DataFrame, id_col: str,
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       bits: int = 64) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming, using the
-    4-table prefix-block trick (split 64 bits into 4 x 16-bit keys; pairs
-    within distance 3 share at least one key) then exact hamming filter."""
+    4-table prefix-block trick (split the signature into 4 x bits/4-bit
+    keys; pairs within distance 3 share at least one key) then exact
+    hamming filter."""
+    width = bits // 4
+    mask = F.lit((1 << width) - 1)
     parts = []
     for p in range(4):
-        key = F.shiftright(F.col("simhash"), p * 16).bitwiseAND(F.lit(0xFFFF))
+        key = F.shiftright(F.col("simhash"), p * width).bitwiseAND(mask)
         parts.append(sig_df.select(
             F.col(id_col), F.col("simhash"),
             F.concat(F.lit(f"{p}:"), key.cast("string")).alias("block")))
@@ -158,7 +177,7 @@ def simhash_near_pairs(sig_df: DataFrame, id_col: str,
                       F.col("simhash").alias("sb"), "block")
     cand = (a.join(b, "block").filter(F.col("a") < F.col("b"))
             .select("a", "b", "sa", "sb").distinct())
-    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
     return (cand.withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
             .select("a", "b", "hamming"))

@@ -2,21 +2,27 @@
 the reference has no range/as-of joins either; this is part of the standard
 operator family a replacement engine must offer).
 
-Implementation: ``applyInPandas`` over the join key's groups running
-``pd.merge_asof`` per group — the (b) tier of the custom-operator preference
-order (compose built-ins > applyInPandas > mapPartitions). The groupBy
-hash-shuffles both sides on the key once; within a group, merge_asof is a
-linear scan over the two time-sorted sides.
+Implementation (r2, replacing the r1 applyInPandas + pd.merge_asof tier):
+union both sides with a side tag and take, per left row, the LAST right-side
+row at-or-before it via a running window — fully JVM (whole-stage codegen,
+no Python workers), ONE hash shuffle on the key, and a single pass instead
+of r1's two scans + Arrow transfer. The right row travels as one struct so
+multi-column payloads stay row-atomic (independent per-column ``last``
+calls could mix rows when a payload column is genuinely NULL).
 
-Scale notes: skewed keys (one user with millions of events) land one group on
-one task — callers with such skew should pre-bucket the time axis per key
-(same range-salting trick as the posting build) before calling this.
+Ordering: (on, _side, *right_cols) with right rows first at equal ``on`` —
+backward direction with inclusive equality, ties at the matched timestamp
+resolved to the max of right_cols, exactly the r1 merge_asof contract
+(proven by the unchanged evt_asof_join oracle).
+
+Scale notes: skewed keys (one user with millions of events) still land one
+key in one task's sort run — callers with such skew should pre-bucket the
+time axis per key (same range-salting trick as the posting build).
 """
 
 from __future__ import annotations
 
-import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
@@ -26,27 +32,19 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
     [c + suffix for c in right_cols]. `right_cols` must not collide with
     left columns after suffixing."""
     lcols = left.columns
-    out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields)
-    rfields = {f.name: f.dataType.simpleString() for f in right.schema.fields}
-    out_schema += ", " + ", ".join(
-        f"{c}{suffix} {rfields[c]}" for c in right_cols)
-    out_cols = lcols + [c + suffix for c in right_cols]
-
-    lt = left.withColumn("_side", F.lit(0))
-    rt = right.select(by, on, *right_cols).withColumn("_side", F.lit(1))
-
-    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
-        l = pdf[pdf["_side"] == 0][lcols].sort_values(on, kind="mergesort")
-        if len(l) == 0:
-            return pd.DataFrame(columns=out_cols)
-        # sort right by (on, *right_cols): merge_asof takes the LAST row at
-        # the matched timestamp, so ties on `on` resolve to the max of
-        # right_cols — a deterministic, SQL-reproducible tie-break
-        r = (pdf[pdf["_side"] == 1][[on] + right_cols]
-             .sort_values([on] + right_cols, kind="mergesort")
-             .rename(columns={c: c + suffix for c in right_cols}))
-        return pd.merge_asof(l, r, on=on, direction="backward")
-
+    lt = left.withColumn("_side", F.lit(1))
+    rt = right.select(by, on, *right_cols).withColumn("_side", F.lit(0))
     both = lt.unionByName(rt, allowMissingColumns=True)
-    return both.groupBy(by).applyInPandas(per_key, schema=out_schema)
+
+    win = (W.partitionBy(by)
+           .orderBy(on, "_side", *right_cols)
+           .rowsBetween(W.unboundedPreceding, W.currentRow))
+    payload = F.last(
+        F.when(F.col("_side") == 0,
+               F.struct(*[F.col(c) for c in right_cols])),
+        ignorenulls=True).over(win)
+    return (both.withColumn("_r", payload)
+            .filter(F.col("_side") == 1)
+            .select(*lcols,
+                    *[F.col(f"_r.{c}").alias(c + suffix)
+                      for c in right_cols]))
