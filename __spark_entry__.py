@@ -459,6 +459,35 @@ def q_txt_keywords_tfidf(spark, sf):
             .select("doc_id", "token", "tfidf", "rk"))
 
 
+def q_txt_keywords_phrases(spark, sf):
+    """Multi-word keyword grouping (reference GroupTerms ->
+    FinalExcerptKeywordSet, DyableAssociations/** + DyableCommand.cpp:42 —
+    r1 shipped only unigram keywords): per-doc top-5 keywords over the UNION
+    of unigrams and adjacent-bigram phrases, ranked by tf-idf with corpus
+    bigram document frequencies. All candidate generation JVM-side."""
+    d = load(spark, sf, "documents")
+    n_docs = d.count()
+    toks = tokens_col(F.col("text"))
+    idx = F.when(F.size(toks) >= 2,
+                 F.sequence(F.lit(0), F.size(toks) - 2)
+                 ).otherwise(F.array().cast("array<int>"))
+    bigrams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+    per_doc = (d.select("doc_id",
+                        F.explode(F.concat(toks, bigrams)).alias("keyword"))
+               .groupBy("doc_id", "keyword").agg(F.count("*").alias("tf")))
+    dfs = per_doc.groupBy("keyword").agg(F.count("*").alias("df"))
+    scored = (per_doc.join(dfs, "keyword")
+              .withColumn("tfidf", F.round(
+                  F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")),
+                  6)))
+    win = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(),
+                                          F.col("keyword").asc())
+    return (scored.withColumn("rk", F.row_number().over(win))
+            .filter(F.col("rk") <= 5)
+            .select("doc_id", "keyword", "tf", "tfidf", "rk"))
+
+
 def q_txt_stem_suffixes(spark, sf):
     """Suffix-stem flagging (reference longest-suffix match,
     MyStuff.h:6895-6974; kernel.tokenize.stem_suffix): distribution of
@@ -705,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_corpus_filter": q_txt_corpus_filter,
         "txt_anchor_terms": q_txt_anchor_terms,
         "txt_excerpts": q_txt_excerpts,
+        "txt_keywords_phrases": q_txt_keywords_phrases,
     }
 
 
@@ -1194,6 +1224,30 @@ def oracle_sql() -> dict[str, str]:
                           ON a.p = b.p AND a.k = b.k AND a.doc_id < b.doc_id)
             SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
             FROM cand WHERE bit_count(xor(sa, sb)) <= 6"""
+    sql['txt_keywords_phrases'] = f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            uni AS (SELECT doc_id, unnest(ts) AS keyword FROM toks),
+            bidx AS (SELECT doc_id, ts,
+                            unnest(generate_series(1,
+                                greatest(len(ts) - 1, 0))) AS i
+                     FROM toks),
+            big AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS keyword
+                    FROM bidx),
+            kw AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+            per_doc AS (SELECT doc_id, keyword, count(*) AS tf
+                        FROM kw GROUP BY 1, 2),
+            dfs AS (SELECT keyword, count(*) AS df FROM per_doc GROUP BY 1),
+            nn AS (SELECT count(*) AS n FROM documents),
+            scored AS (SELECT p.doc_id, p.keyword, p.tf,
+                              round(p.tf * ln(nn.n * 1.0 / d.df), 6) AS tfidf
+                       FROM per_doc p JOIN dfs d ON p.keyword = d.keyword,
+                            nn),
+            ranked AS (SELECT doc_id, keyword, tf, tfidf,
+                              row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, keyword ASC) AS rk
+                       FROM scored)
+            SELECT doc_id, keyword, tf, tfidf, CAST(rk AS INT) AS rk
+            FROM ranked WHERE rk <= 5"""
     sql['txt_anchor_terms'] = f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
             n AS (SELECT count(*) AS n FROM documents),

@@ -50,6 +50,8 @@ HEADLINE = [
     "txt_dedup_exact", "txt_minhash_lsh", "txt_ngram_jaccard",
     "txt_simhash_pairs", "txt_cooccur", "txt_phrase_match", "txt_bm25_topk",
     "sim_ann_cosine", "graph_pagerank",
+    # r2 additions: blocked-GEMM near-dup, anchor stream, excerpts, phrases
+    "sim_neardup", "txt_anchor_terms", "txt_excerpts", "txt_keywords_phrases",
 ]
 
 BUILD_SNIPPET = """

@@ -2,20 +2,31 @@
 
 ``Window.orderBy(col).row_number()`` collapses to ONE partition — a
 non-starter at 10^12 rows. Instead: range-repartition on the key, sort within
-partitions, count rows per partition, broadcast the tiny prefix-sum of counts,
-and add each partition's offset to its local running index. Two passes over
-the data, no global sort bottleneck, deterministic for unique keys.
+partitions, count rows per partition, broadcast the tiny prefix-sum of
+counts, and add each partition's offset to its local running index. Two
+passes over the data, no global sort bottleneck, deterministic for unique
+keys.
 
 This is exactly the reference's id scheme made stable: per-division local ids
 plus broadcast per-division offset prefix sums (reference
 DyableLexonWords/LexonWords.cpp:110-134, DyableHitList/DyableHitList/
 CreateFinalHitList.h:76-91).
+
+r2: the local-index pass is pure JVM. ``monotonically_increasing_id`` is
+defined as ``(partition_id << 33) | row_index_within_partition``, so the
+per-partition running index is ``mid & (2^33 - 1)`` and the partition id is
+``mid >> 33`` — a broadcast join against the tiny (pid, offset) table
+replaces the r1 Arrow/mapInPandas pass, whose Python-worker spinup was the
+dominant cost of the docs_ids and terms stages (~6.5 s and ~2.9 s at
+local[8] for a 24k-row input vs ~1 s JVM-side).
 """
 
 from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+
+_MID_MASK = (1 << 33) - 1
 
 
 def assign_dense_ids(df: DataFrame, key: str, id_col: str,
@@ -43,23 +54,16 @@ def assign_dense_ids(df: DataFrame, key: str, id_col: str,
     for pid in sorted(by_pid):
         offsets[pid] = acc
         acc += by_pid[pid]
-    b_offsets = spark.sparkContext.broadcast(offsets)
-    out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in ranged.schema.fields
-    ) + f", {id_col} long"
-
-    def add_ids(iterator):
-        from pyspark import TaskContext
-        pid = TaskContext.get().partitionId()
-        base = b_offsets.value.get(pid, 0)
-        seen = 0
-        for pdf in iterator:
-            pdf = pdf.copy()
-            pdf[id_col] = range(base + seen, base + seen + len(pdf))
-            seen += len(pdf)
-            yield pdf
-
-    return ranged.mapInPandas(add_ids, schema=out_schema)
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()],
+        "_pid int, _off long")
+    mid = F.monotonically_increasing_id()
+    return (ranged
+            .withColumn("_pid", F.shiftright(mid, 33).cast("int"))
+            .withColumn("_loc", mid.bitwiseAND(F.lit(_MID_MASK)))
+            .join(F.broadcast(off_df), "_pid")
+            .withColumn(id_col, (F.col("_off") + F.col("_loc")).cast("long"))
+            .drop("_pid", "_loc", "_off"))
 
 
 def prefix_sum_offsets(counts: pd.Series) -> dict[int, int]:
