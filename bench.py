@@ -42,6 +42,13 @@ BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "96000"))
 # engine; 2->8 sits inside the true-core region (cap ~0.93). See BASELINE.md.
 SCALE_LOW = int(os.environ.get("SCALE_LOW", "2"))
 SCALE_HIGH = int(os.environ.get("SCALE_HIGH", "8"))
+# median-of-N for the scaling section (the host's CPU noise makes single
+# runs swing ±50%; VERDICT r1 asked for >= 3 medians)
+SCALE_REPS = int(os.environ.get("SCALE_REPS", "3"))
+# the scaling corpus: smaller than the headline build so 2 * SCALE_REPS
+# builds stay inside the round budget, large enough that parallel work
+# dominates the ~25-30s fixed job floor at local[2]
+SCALE_PAGES = int(os.environ.get("SCALE_PAGES", "48000"))
 
 HEADLINE = [
     "rel_tpch_q1", "rel_hash_join", "rel_topk_per_group", "rel_merge_set",
@@ -68,8 +75,11 @@ print(json.dumps({"sec": time.time() - t0, "stage_sec": res["stage_sec"]}))
 
 # the embarrassingly-parallel indexing stages (no serial section, no
 # iteration-latency floor) — reported separately so the Amdahl decomposition
-# of scaling efficiency is visible (BENCH/BASELINE.md)
-PARALLEL_STAGES = ("extracted", "doc_terms", "terms", "postings")
+# of scaling efficiency is visible (BENCH/BASELINE.md). The `docs` stage is
+# excluded: it carries the 20-cycle PageRank fixpoint, an inherently
+# iterative section whose per-cycle latency does not shrink with cores.
+PARALLEL_STAGES = ("extracted", "doc_terms", "anchor_terms", "terms",
+                   "postings")
 
 
 def run_queries(spark):
@@ -161,28 +171,52 @@ def main():
 
     if not os.environ.get("SKIP_SCALING"):
         lo, hi = SCALE_LOW, SCALE_HIGH
-        print(f"== scaling local[{lo}] vs local[{hi}] ==", file=sys.stderr)
-        r_lo = build_in_subprocess(lo, f"{work}/pages", f"{work}/idx_lo",
-                                   iters=20)
-        r_hi = build_in_subprocess(hi, f"{work}/pages", f"{work}/idx_hi",
-                                   iters=20)
-        t_lo, t_hi = r_lo["sec"], r_hi["sec"]
-        p_lo = sum(r_lo["stage_sec"].get(s, 0.0) for s in PARALLEL_STAGES)
-        p_hi = sum(r_hi["stage_sec"].get(s, 0.0) for s in PARALLEL_STAGES)
-        tput_lo, tput_hi = n_pages / t_lo, n_pages / t_hi
+        sc_pages = SCALE_PAGES
+        sc_dir = f"{work}/pages"
+        if sc_pages != n_pages:
+            spark = get_spark("bench-scale-gen", cores=CPUS,
+                              shuffle_partitions=CPUS)
+            sc_dir = f"{work}/pages_scale"
+            write_pages(spark, sc_pages, sc_dir)
+            spark.stop()
+        print(f"== scaling local[{lo}] vs local[{hi}] "
+              f"(median of {SCALE_REPS}, {sc_pages} pages) ==",
+              file=sys.stderr)
+        runs = {lo: [], hi: []}
+        # interleave levels so slow host-noise windows hit both levels alike
+        for rep in range(SCALE_REPS):
+            for c in (lo, hi):
+                r = build_in_subprocess(c, sc_dir,
+                                        f"{work}/idx_s{c}_{rep}", iters=20)
+                runs[c].append(r)
+                print(f"  rep{rep} local[{c}]: {r['sec']:.1f}s",
+                      file=sys.stderr)
+
+        def med(level, key=None):
+            vals = sorted(
+                (r["sec"] if key is None else
+                 sum(r["stage_sec"].get(s, 0.0) for s in PARALLEL_STAGES))
+                for r in runs[level])
+            return vals[len(vals) // 2]
+        t_lo, t_hi = med(lo), med(hi)
+        p_lo, p_hi = med(lo, "p"), med(hi, "p")
+        tput_lo, tput_hi = sc_pages / t_lo, sc_pages / t_hi
         factor = hi / lo
         result["scaling"] = {
-            "n_pages": n_pages, "cores_low": lo, "cores_high": hi,
+            "n_pages": sc_pages, "cores_low": lo, "cores_high": hi,
+            "reps": SCALE_REPS,
             "t_low_sec": round(t_lo, 2), "t_high_sec": round(t_hi, 2),
+            "t_low_all": [round(r["sec"], 2) for r in runs[lo]],
+            "t_high_all": [round(r["sec"], 2) for r in runs[hi]],
             "docs_per_sec_low": round(tput_lo, 1),
             "docs_per_sec_high": round(tput_hi, 1),
             "efficiency": round(tput_hi / (factor * tput_lo), 3),
             "parallel_stages_low_sec": round(p_lo, 2),
             "parallel_stages_high_sec": round(p_hi, 2),
             "parallel_stages_efficiency": round(
-                (n_pages / p_hi) / (factor * n_pages / p_lo), 3),
-            "stage_sec_low": r_lo["stage_sec"],
-            "stage_sec_high": r_hi["stage_sec"],
+                (sc_pages / p_hi) / (factor * sc_pages / p_lo), 3),
+            "stage_sec_low": runs[lo][0]["stage_sec"],
+            "stage_sec_high": runs[hi][0]["stage_sec"],
         }
         print(f"  {result['scaling']}", file=sys.stderr)
 

@@ -231,42 +231,51 @@ def build_index(spark, pages: DataFrame | str, index_dir: str, *,
         # (21.9s vs 59.7s at 16 cores), identical rows; positions are the
         # kept-sequence indexes, same as the kernel. _doc_terms_batches
         # remains the shared-kernel reference path (streaming uses it).
+        # ONE union + ONE groupBy computes every per-field stream (the
+        # reference's hit type bits, FileStorage.h:205-274 / weights
+        # Webpage.h:139-176): body tokens carry positions; title and img-alt
+        # tokens are subsets of the body text; meta keywords are NOT body
+        # text, so their rows surface naturally with tf=0 and positions=[]
+        # (retrievable under field-weighted scoring only). The r1 shape
+        # (3 per-field aggs + 3 joins) paid 4+ shuffles of the same stream —
+        # this pays exactly one.
         from ..functions.text import tokens_col
-        body = (extracted
-                .select("doc_id",
-                        F.posexplode(tokens_col(F.col("text")))
-                        .alias("pos", "term"))
-                .groupBy("doc_id", "term")
-                .agg(F.count("*").cast("int").alias("tf"),
-                     F.sort_array(F.collect_list("pos")).alias("positions")))
-        # per-field term frequencies (the reference's hit type bits,
-        # FileStorage.h:205-274 / weights Webpage.h:139-176). title and
-        # img-alt terms also appear in the body stream (extracted text
-        # includes both segments) -> left joins; meta keywords are NOT body
-        # text -> full outer merge, producing tf=0 rows so meta-only hits
-        # stay retrievable under field-weighted scoring.
-        def field_tf(col, alias):
-            return (extracted
-                    .select("doc_id", F.explode(col).alias("chunk"))
-                    .select("doc_id",
-                            F.explode(tokens_col(F.col("chunk")))
-                            .alias("term"))
-                    .groupBy("doc_id", "term")
-                    .agg(F.count("*").cast("int").alias(alias)))
-        title = (extracted
-                 .select("doc_id",
-                         F.explode(tokens_col(F.col("title"))).alias("term"))
-                 .groupBy("doc_id", "term")
-                 .agg(F.count("*").cast("int").alias("title_tf")))
-        alts = field_tf(F.col("img_alts"), "alt_tf")
-        meta = field_tf(F.col("meta_keywords"), "meta_tf")
-        df = (body.join(title, ["doc_id", "term"], "left")
-              .join(alts, ["doc_id", "term"], "left")
-              .join(meta, ["doc_id", "term"], "full_outer")
-              .fillna(0, subset=["tf", "title_tf", "meta_tf", "alt_tf"])
-              .withColumn("positions",
-                          F.coalesce(F.col("positions"),
-                                     F.array().cast("array<int>")))
+
+        def field_rows(col_expr, tag, with_pos=False):
+            if with_pos:
+                return extracted.select(
+                    "doc_id",
+                    F.posexplode(col_expr).alias("pos", "term"),
+                    F.lit(tag).alias("fld"))
+            return extracted.select(
+                "doc_id",
+                F.explode(col_expr).alias("term"),
+                F.lit(None).cast("int").alias("pos"),
+                F.lit(tag).alias("fld"))
+
+        def chunk_tokens(col):
+            # tokens of every string in an array column, one flat array
+            return F.flatten(F.transform(col, lambda c: tokens_col(c)))
+
+        rows = (field_rows(tokens_col(F.col("text")), "b", with_pos=True)
+                .select("doc_id", "term", "pos", "fld")
+                .unionByName(field_rows(tokens_col(F.col("title")), "t"))
+                .unionByName(field_rows(
+                    chunk_tokens(F.col("img_alts")), "a"))
+                .unionByName(field_rows(
+                    chunk_tokens(F.col("meta_keywords")), "m")))
+        df = (rows.groupBy("doc_id", "term")
+              .agg(F.count(F.when(F.col("fld") == "b", 1))
+                   .cast("int").alias("tf"),
+                   F.sort_array(F.collect_list(
+                       F.when(F.col("fld") == "b", F.col("pos"))))
+                   .alias("positions"),
+                   F.count(F.when(F.col("fld") == "t", 1))
+                   .cast("int").alias("title_tf"),
+                   F.count(F.when(F.col("fld") == "m", 1))
+                   .cast("int").alias("meta_tf"),
+                   F.count(F.when(F.col("fld") == "a", 1))
+                   .cast("int").alias("alt_tf"))
               .select("doc_id", "term", "tf", "positions", "title_tf",
                       "meta_tf", "alt_tf"))
         df.write.mode("overwrite").parquet(out)

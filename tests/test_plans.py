@@ -46,7 +46,8 @@ def test_jvm_ops_have_no_python_eval(spark):
     jvm_only = ["rel_tpch_q1", "rel_topk_per_group", "rel_merge_set",
                 "txt_token_counts", "txt_dedup_exact", "txt_langid",
                 "txt_quality", "txt_minhash_sig", "txt_simhash",
-                "sim_ann_cosine", "txt_ngram_jaccard"]
+                "sim_ann_cosine", "txt_ngram_jaccard", "txt_cooccur",
+                "txt_anchor_terms", "txt_keywords_phrases", "evt_asof_join"]
     for name in jvm_only:
         plan = _plan(qs[name](spark, SF))
         for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas",
