@@ -316,13 +316,43 @@ def q_sim_neardup(spark, sf):
 
 
 def q_mm_media_features(spark, sf):
-    """Multimodal plumbing (rows-only): documents' text bytes stand in for an
-    opaque media payload; decode is the deterministic stub."""
+    """Multimodal image pipeline with a REAL decoder (r1 was a rows-only
+    stub): deterministic grayscale PPM payloads are generated per doc_id
+    (w = 16 + d%8, h = 16 + d%5, pixel v(x,y) = (7d + 3x + 5y) mod 256),
+    decoded by the pure-numpy codec (kernel.imagex.decode_ppm), and the
+    DuckDB oracle re-derives the exact payload bytes in SQL — so the
+    checksum/dims/size columns verify the whole decode path value-exactly.
+    (mean_luma stays a float decoder feature, covered by pytest instead of
+    the hash gate — see tests/test_functions.py.)"""
     from hadoopsearchengine_spark.functions.multimodal import (
         extract_media_features)
-    d = load(spark, sf, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload"))
-    return extract_media_features(d, "payload", "doc_id", fake=True)
+    from hadoopsearchengine_spark.kernel import imagex
+
+    d = load(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 16 + did % 8, 16 + did % 5
+                v = ((did * 7 + 3 * np.arange(w)[None, :]
+                      + 5 * np.arange(h)[:, None]) % 256).astype(np.uint8)
+                img = np.repeat(v[:, :, None], 3, axis=2)
+                rows.append((did, imagex.encode_ppm(img)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = d.mapInPandas(gen, "doc_id long, payload binary")
+    feats = extract_media_features(payloads, "payload", "doc_id", fake=False)
+    # payload checksum over the (uppercase) hex encoding: DuckDB's sha256
+    # only accepts VARCHAR, and raw pixel bytes are not valid UTF-8
+    chk = payloads.select(
+        F.col("doc_id").alias("media_id"),
+        F.sha2(F.hex("payload"), 256).alias("payload_sha"))
+    return (feats.join(chk, "media_id")
+            .select("media_id", "n_bytes", "width", "height", "payload_sha"))
 
 
 def q_stream_hourly_window(spark, sf):
@@ -1224,6 +1254,35 @@ def oracle_sql() -> dict[str, str]:
                           ON a.p = b.p AND a.k = b.k AND a.doc_id < b.doc_id)
             SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
             FROM cand WHERE bit_count(xor(sa, sb)) <= 6"""
+    # mm_media_features: rebuild the deterministic PPM payload byte-for-byte
+    # in SQL (header chars + pixel bytes as hex), then hash the same
+    # uppercase-hex encoding Spark hashes (sha256 in DuckDB is VARCHAR-only).
+    sql['mm_media_features'] = """
+            WITH dims AS (SELECT doc_id, 16 + doc_id % 8 AS w,
+                                 16 + doc_id % 5 AS h
+                          FROM documents),
+            px AS (SELECT d.doc_id, d.w, d.h, y.y, x.x,
+                          CAST((d.doc_id * 7 + 3 * x.x + 5 * y.y) % 256
+                               AS INT) AS v
+                   FROM dims d,
+                        LATERAL (SELECT unnest(generate_series(0, d.h - 1))
+                                 AS y) y,
+                        LATERAL (SELECT unnest(generate_series(0, d.w - 1))
+                                 AS x) x),
+            body AS (SELECT doc_id, w, h,
+                            string_agg(repeat(lpad(hex(v), 2, '0'), 3), ''
+                                       ORDER BY y, x) AS px_hex
+                     FROM px GROUP BY 1, 2, 3),
+            payload AS (SELECT doc_id, w, h,
+                               hex('P6' || chr(10) || w || ' ' || h
+                                   || chr(10) || '255' || chr(10))
+                               || px_hex AS hx
+                        FROM body)
+            SELECT doc_id AS media_id,
+                   CAST(length(hx) / 2 AS BIGINT) AS n_bytes,
+                   CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   sha256(hx) AS payload_sha
+            FROM payload"""
     sql['txt_keywords_phrases'] = f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
             uni AS (SELECT doc_id, unnest(ts) AS keyword FROM toks),

@@ -1,13 +1,14 @@
-"""Multimodal (binary) column plumbing: treat image/audio/video payloads as
+"""Multimodal (binary) column operators: image/audio/video payloads as
 opaque ``binary`` columns with typed metadata, processed via Arrow-batched
 ``mapInPandas``.
 
-The actual media decode is STUBBED (no image/audio libraries in this
-container): ``decode_image_stub`` raises NotImplementedError unless
-``fake=True``, in which case it produces deterministic fake features
-(documented below) so the Spark-side plumbing — schema, batching, partition
-behavior — is real and tested. Swap ``_decode_one`` for a PIL/libav call in a
-real deployment; nothing else changes.
+r2: the image decode is REAL for PPM (P6) and 24-bit BMP via the pure-numpy
+codec in ``kernel.imagex`` (no PIL/libav in this container — these formats
+need none), so features/resize/frames compute verifiable values end-to-end
+and the driver-gate op carries a full DuckDB value oracle. Other formats
+(JPEG/PNG/video) still fall back to the deterministic stub when
+``fake=True`` (or raise when ``fake=False``) — swap ``decode_image`` for a
+PIL/libav call in a real deployment; nothing else changes.
 
 Batch shape: mapInPandas receives Arrow record batches
 (spark.sql.execution.arrow.maxRecordsPerBatch rows); each batch is processed
@@ -22,27 +23,30 @@ import hashlib
 import pandas as pd
 from pyspark.sql import DataFrame
 
-FEATURES_SCHEMA = ("media_id long, n_bytes int, sha1 string, width int, "
+from ..kernel import imagex
+
+FEATURES_SCHEMA = ("media_id long, n_bytes long, sha256 string, width int, "
                    "height int, mean_luma double")
 
 
 def _decode_one(payload: bytes, fake: bool):
-    """STUB: real deployments replace this with an image decode. The fake
-    derives (width, height, mean_luma) deterministically from the payload's
-    sha1 so tests have stable expectations."""
-    if not fake:
-        raise NotImplementedError(
-            "media decode requires an image library not present in this "
-            "environment; pass fake=True for the deterministic stub")
-    sha = hashlib.sha1(payload).hexdigest()
-    h = int(sha[:8], 16)
-    return {
-        "n_bytes": len(payload),
-        "sha1": sha,
-        "width": 16 + h % 1024,
-        "height": 16 + (h >> 10) % 1024,
-        "mean_luma": round((h % 255001) / 1000.0, 3),
-    }
+    """PPM/BMP: real decode (kernel.imagex). Unknown formats: deterministic
+    sha-derived stub when fake=True (so plumbing tests run on arbitrary
+    bytes), ValueError otherwise."""
+    payload = bytes(payload)
+    base = {"n_bytes": len(payload),
+            "sha256": hashlib.sha256(payload).hexdigest()}
+    try:
+        img = imagex.decode_image(payload)
+        return {**base, "width": int(img.shape[1]),
+                "height": int(img.shape[0]),
+                "mean_luma": imagex.mean_luma(img)}
+    except ValueError:
+        if not fake:
+            raise
+    h = int(base["sha256"][:8], 16)
+    return {**base, "width": 16 + h % 1024, "height": 16 + (h >> 10) % 1024,
+            "mean_luma": round((h % 255001) / 1000.0, 3)}
 
 
 def extract_media_features(df: DataFrame, media_col: str, id_col: str,
@@ -62,23 +66,29 @@ def extract_media_features(df: DataFrame, media_col: str, id_col: str,
 def resize_images(df: DataFrame, media_col: str, id_col: str,
                   out_w: int = 64, out_h: int = 64,
                   fake: bool = True) -> DataFrame:
-    """Resize plumbing: (id, binary) -> (id, out_w, out_h, thumb binary).
-    The resample itself is STUBBED (deterministic byte-fold of the payload
-    into out_w*out_h bytes) — swap for PIL in a real deployment; schema,
-    batching and output contract are real."""
+    """Resize: (id, binary) -> (id, out_w, out_h, thumb binary). PPM/BMP
+    payloads get a REAL nearest-neighbor resample re-encoded as PPM
+    (kernel.imagex.resize_nearest); unknown formats fall back to the
+    deterministic byte-fold stub when fake=True."""
     import numpy as np
 
     def run(batches):
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[media_col]):
-                if not fake:
-                    raise NotImplementedError("image resample needs PIL")
-                raw = np.frombuffer(bytes(payload) or b"\0", dtype=np.uint8)
-                n = out_w * out_h
-                reps = int(np.ceil(n / max(len(raw), 1)))
-                thumb = np.tile(raw, reps)[:n]
-                rows.append((int(mid), out_w, out_h, thumb.tobytes()))
+                payload = bytes(payload)
+                try:
+                    img = imagex.decode_image(payload)
+                    thumb = imagex.encode_ppm(
+                        imagex.resize_nearest(img, out_w, out_h))
+                except ValueError:
+                    if not fake:
+                        raise
+                    raw = np.frombuffer(payload or b"\0", dtype=np.uint8)
+                    n = out_w * out_h
+                    reps = int(np.ceil(n / max(len(raw), 1)))
+                    thumb = np.tile(raw, reps)[:n].tobytes()
+                rows.append((int(mid), out_w, out_h, thumb))
             yield pd.DataFrame(
                 rows, columns=["media_id", "out_w", "out_h", "thumb"])
 
@@ -90,7 +100,7 @@ def sample_frames(df: DataFrame, media_col: str, id_col: str,
                   n_frames: int = 4, fake: bool = True) -> DataFrame:
     """Frame-sampling plumbing for video payloads: (id, binary) ->
     one row per sampled frame (id, frame_no, offset, frame binary). The
-    decoder is STUBBED: 'frames' are evenly-spaced 256-byte slices —
+    video decoder is STUBBED: 'frames' are evenly-spaced 256-byte slices —
     swap for libav in a real deployment."""
     def run(batches):
         for pdf in batches:

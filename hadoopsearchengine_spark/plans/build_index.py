@@ -4,19 +4,28 @@ Stage graph (each stage = one DataFrame action writing parquet + a manifest
 row; barriers between stages mirror the reference's process-spawn barriers,
 reference DyableCommand/DyableCommand.cpp:641-724):
 
-    docs_ids   urls -> dense doc ids (distributed prefix-sum rank)
-    extracted  html -> (text, title, links[]) via one Arrow-batched kernel
-               pass [reference stage DyableParseHTML, SURVEY §2.2 #1]
-    doc_terms  text -> (doc_id, term, tf, positions[]) [DyableIndex, #3]
-    terms      term dictionary + df/cf + dense term ids [DyableLogFile +
-               CreateWordList, #4/#6]
-    links      anchor edges -> weighted, deduped, top-10/src, normalized
-               [CreateBinaryLinks + CreateClusteredLinkSet, #8a/b]
-    docs       doc stats + 20-cycle PageRank priors [PulseRank, #8c]
-    postings   BM25-scored posting blocks: delta+varint payloads, block-max
-               scores, head-term range-bucket salting [SortHitList +
-               CompileLookupIndex, #14/#15]
-    stats      scalar corpus stats (n_docs, avgdl)
+    docs_ids      urls -> dense doc ids (distributed prefix-sum rank)
+    extracted     html -> (text, title, links[], anchors[], img_alts[],
+                  meta_keywords[], excerpts[]) via one Arrow-batched kernel
+                  pass [reference stage DyableParseHTML, SURVEY §2.2 #1;
+                  excerpt records DocumentInstance.h:129-160]
+    doc_terms     text/title/alt/meta streams -> (doc_id, term, tf,
+                  positions[], title_tf, meta_tf, alt_tf) in ONE
+                  union+groupBy [DyableIndex, #3; hit fields
+                  Webpage.h:139-176]
+    anchor_terms  anchor text re-keyed to the TARGET doc: (doc_id, term,
+                  anchor_tf) [CompileHitList.h:316-319]
+    terms         term dictionary over all streams + BODY df/cf + dense ids
+                  [DyableLogFile + CreateWordList, #4/#6]
+    links         anchor edges -> weighted, deduped, top-10/src, normalized
+                  [CreateBinaryLinks + CreateClusteredLinkSet, #8a/b]
+    docs          doc stats + text checksum + 20-cycle PageRank priors
+                  [PulseRank, #8c]
+    postings      BM25-scored posting blocks (body ⟗ anchor streams):
+                  delta+varint payloads, per-field tf streams, block-max
+                  plain AND field-weighted scores, head-term range-bucket
+                  salting [SortHitList + CompileLookupIndex, #14/#15]
+    stats         scalar corpus stats (n_docs, avgdl)
 
 Skew: the posting build groups by (term_id, bucket) where head terms
 (df > head_df_threshold) are salted by doc-id RANGE buckets — ranges, not
@@ -333,9 +342,13 @@ def _finish_index(spark, m: Manifest, base_ref: str, paths: dict,
     # rows don't inflate idf); the dictionary itself covers every term seen
     # in ANY stream so anchor-/meta-only terms stay retrievable.
     def w_terms(out):
+        # checkpoint the per-term stats (tiny) — the anti-join AND the union
+        # both consume it, and without materialization each would re-run the
+        # full doc_terms scan+aggregate
         stats = (doc_terms.groupBy("term")
                  .agg(F.count(F.when(F.col("tf") > 0, 1)).alias("df"),
-                      F.sum("tf").alias("cf")))
+                      F.sum("tf").alias("cf"))
+                 .localCheckpoint(eager=True))
         anchor_only = (anchor_terms.select("term").distinct()
                        .join(stats.select("term"), "term", "left_anti")
                        .select("term", F.lit(0).cast("long").alias("df"),
