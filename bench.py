@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import statistics
 import subprocess
 import sys
@@ -94,13 +95,22 @@ def run_queries(spark):
     return out
 
 
-def build_in_subprocess(cores, pages_path, out_dir, iters=20):
+def build_in_subprocess(cores, pages_path, out_dir, iters=20,
+                        pin_cpus=False):
+    """pin_cpus=True binds the whole subprocess tree (JVM + python workers)
+    to exactly `cores` CPUs via taskset. Without pinning, local[N]'s Arrow
+    stages spawn N EXTRA python workers, so the 'N-core' level really uses
+    up to 2N host cores and the N->4N efficiency ratio is understated —
+    pinning makes the two-cluster-size comparison a true hardware ratio."""
     env = dict(os.environ)
     env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
-    r = subprocess.run(
-        [sys.executable, "-c", BUILD_SNIPPET, str(cores), pages_path,
-         out_dir, str(iters)],
-        capture_output=True, text=True, env=env, timeout=3600)
+    cmd = [sys.executable, "-c", BUILD_SNIPPET, str(cores), pages_path,
+           out_dir, str(iters)]
+    if pin_cpus and shutil.which("taskset"):
+        cmd = ["taskset", "-c",
+               ",".join(str(i) for i in range(cores))] + cmd
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       timeout=3600)
     if r.returncode != 0:
         print(r.stderr[-3000:], file=sys.stderr)
         raise RuntimeError(f"build at cores={cores} failed")
@@ -187,7 +197,8 @@ def main():
         for rep in range(SCALE_REPS):
             for c in (lo, hi):
                 r = build_in_subprocess(c, sc_dir,
-                                        f"{work}/idx_s{c}_{rep}", iters=20)
+                                        f"{work}/idx_s{c}_{rep}", iters=20,
+                                        pin_cpus=True)
                 runs[c].append(r)
                 print(f"  rep{rep} local[{c}]: {r['sec']:.1f}s",
                       file=sys.stderr)
@@ -205,6 +216,7 @@ def main():
         result["scaling"] = {
             "n_pages": sc_pages, "cores_low": lo, "cores_high": hi,
             "reps": SCALE_REPS,
+            "cpu_pinned": bool(shutil.which("taskset")),
             "t_low_sec": round(t_lo, 2), "t_high_sec": round(t_hi, 2),
             "t_low_all": [round(r["sec"], 2) for r in runs[lo]],
             "t_high_all": [round(r["sec"], 2) for r in runs[hi]],
