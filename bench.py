@@ -159,7 +159,9 @@ def main():
     print(f"  {result['index']}", file=sys.stderr)
 
     print("== warm query p95 ==", file=sys.stderr)
-    qe = QueryEngine(f"{work}/idx")
+    # result_cache=0: this section measures SCORING latency; with the LRU
+    # result cache on, every rep after the first is a dict hit (~us)
+    qe = QueryEngine(f"{work}/idx", result_cache=0)
     lat = []
     for _ in range(2):  # warmup
         for q in REFERENCE_QUERIES:

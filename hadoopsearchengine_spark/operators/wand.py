@@ -48,9 +48,18 @@ class QueryEngine:
                    "max_score", "max_wscore", "doc_gaps", "tfs", "positions",
                    "title_tfs", "anchor_tfs", "meta_tfs", "alt_tfs"]
 
-    def __init__(self, index_dir: str, preload: bool = True):
+    def __init__(self, index_dir: str, preload: bool = True,
+                 result_cache: int = 256):
+        import collections
         import pyarrow.parquet as pq
         self.index_dir = index_dir
+        # query-result LRU (the reference's per-server result cache tier,
+        # DyableRequest/** — r1 shipped only the decoded-block cache).
+        # Keyed by the full scoring configuration; 0 disables.
+        self._res_cache: "collections.OrderedDict[tuple, list]" = (
+            collections.OrderedDict())
+        self._res_cache_size = int(result_cache)
+        self.result_cache_hits = 0
         t = pq.read_table(f"{index_dir}/terms").to_pandas()
         self.term_id = dict(zip(t["term"], t["term_id"]))
         self.term_df = dict(zip(t["term"], t["df"]))
@@ -133,6 +142,22 @@ class QueryEngine:
         the ranked list (CompileRankedList.h:206-242)."""
         if title_boost and field_boost:
             raise ValueError("field_boost already includes the title field")
+        ck = (query, k, prune, proximity, title_boost, field_boost,
+              spam_cap, dedup)
+        if self._res_cache_size:
+            got = self._res_cache.get(ck)
+            if got is not None:
+                self._res_cache.move_to_end(ck)
+                self.result_cache_hits += 1
+                return list(got)
+
+        def store(res):
+            if self._res_cache_size:
+                self._res_cache[ck] = list(res)
+                if len(self._res_cache) > self._res_cache_size:
+                    self._res_cache.popitem(last=False)
+            return res
+
         if dedup:
             # over-fetch, cut checksum-dups keeping the best-ranked, truncate
             inner = self.search(query, k=4 * k + 8, prune=prune,
@@ -148,17 +173,17 @@ class QueryEngine:
                 out.append((did, sc))
                 if len(out) == k:
                     break
-            return out
+            return store(out)
         qterms = sorted(set(tokenize(query)))
         tids = [int(self.term_id[t]) for t in qterms if t in self.term_id]
         if not tids:
-            return []
+            return store([])
         idfs = {int(self.term_id[t]): float(bm25.idf(int(self.term_df[t]),
                                                      self.n_docs))
                 for t in qterms if t in self.term_id}
         blocks = self._load_blocks(tids)
         if len(blocks) == 0:
-            return []
+            return store([])
 
         # block-aligned candidate ranges: boundaries from all blocks' bounds
         bounds = np.unique(np.concatenate(
@@ -312,7 +337,7 @@ class QueryEngine:
                 theta = heap[0][0]
 
         out = sorted(((-nd, s) for s, nd in heap), key=lambda x: (-x[1], x[0]))
-        return [(int(d), float(s)) for d, s in out]
+        return store([(int(d), float(s)) for d, s in out])
 
     def snippets(self, doc_ids: list[int]) -> dict[int, str]:
         """Display text per doc: the FIRST excerpt record, falling back to

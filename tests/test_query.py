@@ -31,14 +31,38 @@ def test_prune_equals_no_prune(engine):
         assert a == b
 
 
-def test_prune_skips_blocks(engine):
+def test_prune_skips_blocks(index_dir):
     """On a head-ish query the prune must skip a meaningful share of block
-    scoring work (the whole point of block-max metadata)."""
-    engine.search("cold war", k=10, prune=False)
-    unpruned = engine.blocks_scored
-    engine.search("cold war", k=10, prune=True)
-    pruned = engine.blocks_scored
+    scoring work (the whole point of block-max metadata). Fresh engine with
+    the result cache off — a cache hit skips scoring entirely and would
+    leave the instrumentation stale."""
+    eng = QueryEngine(index_dir, result_cache=0)
+    eng.search("cold war", k=10, prune=False)
+    unpruned = eng.blocks_scored
+    eng.search("cold war", k=10, prune=True)
+    pruned = eng.blocks_scored
     assert pruned < unpruned
+
+
+def test_result_cache(index_dir):
+    """Query-result LRU (the reference's result-cache tier): repeat queries
+    hit the cache with identical results; capacity evicts oldest."""
+    eng = QueryEngine(index_dir, result_cache=2)
+    a = eng.search("cold war", k=10)
+    assert eng.result_cache_hits == 0
+    b = eng.search("cold war", k=10)
+    assert eng.result_cache_hits == 1 and a == b
+    # different scoring config is a different key
+    eng.search("cold war", k=10, title_boost=True)
+    assert eng.result_cache_hits == 1
+    # capacity 2: adding a third key evicts the oldest
+    eng.search("egypt pyramids", k=10)
+    eng.search("cold war", k=10)  # evicted -> recompute, no new hit...
+    assert eng.result_cache_hits == 1
+    # returned lists are copies: mutating a result must not poison the cache
+    c = eng.search("egypt pyramids", k=10)
+    c.append(("junk", 0.0))
+    assert eng.search("egypt pyramids", k=10)[-1] != ("junk", 0.0)
 
 
 def test_unknown_terms(engine):
