@@ -291,6 +291,52 @@ def q_txt_bm25_topk(spark, sf):
             .limit(10))
 
 
+BM25_BATCH_QUERIES = [  # (query_id, terms) — the bulk-evaluation fixture
+    (1, ["merge", "shuffle"]),
+    (2, ["spark", "hash", "join"]),
+    (3, ["scan", "filter"]),
+]
+
+
+def q_txt_bm25_batch(spark, sf):
+    """BATCH BM25: many queries scored in ONE pass over the corpus — the
+    bulk-relevance workload a training-data pipeline runs (generate
+    (query, doc, score) triplets at scale; the reference serves one query
+    per request, DyableQuery). Shape: the tiny (query_id, token) table
+    broadcasts onto the per-doc term stream, so the corpus is scanned and
+    aggregated once for ALL queries; per-query top-5 via one window."""
+    d = load(spark, sf, "documents")
+    per_doc = (d.select("doc_id",
+                        F.explode(tokens_col(F.col("text"))).alias("token"))
+               .groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
+    dl = per_doc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    n_docs = d.count()
+    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in BM25_BATCH_QUERIES for t in ts],
+        "query_id int, token string")
+    all_terms = sorted({t for _, ts in BM25_BATCH_QUERIES for t in ts})
+    qt = per_doc.filter(F.col("token").isin(all_terms))
+    dfs = qt.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (qt.join(F.broadcast(qterms), "token")
+              .join(dfs, "token").join(dl, "doc_id")
+              .withColumn("idf", F.log(
+                  (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5) + 1.0))
+              .withColumn("contrib",
+                          F.col("idf") * F.col("tf") * F.lit(2.2)
+                          / (F.col("tf") + F.lit(1.2)
+                             * (F.lit(0.25) + F.lit(0.75)
+                                * F.col("dl") / F.lit(float(avgdl)))))
+              .groupBy("query_id", "doc_id")
+              .agg(F.round(F.sum("contrib"), 6).alias("score")))
+    win = W.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                            F.col("doc_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "rank", "doc_id", "score"))
+
+
 def q_sim_ann_cosine(spark, sf):
     """Brute-force exact cosine top-5 for query vectors vec_id < 10."""
     emb = load(spark, sf, "embeddings")
@@ -765,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_anchor_terms": q_txt_anchor_terms,
         "txt_excerpts": q_txt_excerpts,
         "txt_keywords_phrases": q_txt_keywords_phrases,
+        "txt_bm25_batch": q_txt_bm25_batch,
     }
 
 
@@ -1173,6 +1220,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE f.n_tokens >= 40
               AND f.stop >= f.n_tokens * 0.02
               AND (f.n_tokens > 0 AND f.stop * 1.0 / f.n_tokens >= 0.08)"""
+    _batch_q_rows = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in BM25_BATCH_QUERIES for t in ts)
+    _batch_terms = ", ".join(
+        f"'{t}'" for t in sorted({t for _, ts in BM25_BATCH_QUERIES
+                                  for t in ts}))
+    sql['txt_bm25_batch'] = f"""
+            WITH {_TOKS_CTE},
+            per_doc AS (SELECT doc_id, token, count(*) AS tf
+                        FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM per_doc GROUP BY 1),
+            consts AS (SELECT (SELECT count(*) FROM documents) AS n,
+                              (SELECT avg(dl) FROM dl) AS avgdl),
+            qmap AS (SELECT * FROM (VALUES {_batch_q_rows})
+                     AS q(query_id, token)),
+            qt AS (SELECT * FROM per_doc
+                   WHERE token IN ({_batch_terms})),
+            dfs AS (SELECT token, count(*) AS df FROM qt GROUP BY 1),
+            scored AS (
+                SELECT m.query_id, t.doc_id,
+                       sum(ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                           * t.tf * 2.2
+                           / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / c.avgdl)))
+                           AS raw
+                FROM qt t
+                JOIN qmap m ON t.token = m.token
+                JOIN dfs d ON t.token = d.token
+                JOIN dl l ON t.doc_id = l.doc_id, consts c
+                GROUP BY 1, 2),
+            ranked AS (SELECT query_id, doc_id, round(raw, 6) AS score,
+                              row_number() OVER (PARTITION BY query_id
+                                  ORDER BY round(raw, 6) DESC, doc_id ASC)
+                                  AS rank
+                       FROM scored)
+            SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+            FROM ranked WHERE rank <= 5"""
     # sim_ann_lsh: the hyperplanes are seeded numpy draws — embed them as SQL
     # literals so DuckDB reproduces the exact buckets (sign of float64 dots;
     # min |dot| margin ~1e-4 on this data, far above summation-order ulp),

@@ -58,8 +58,10 @@ HEADLINE = [
     "txt_dedup_exact", "txt_minhash_lsh", "txt_ngram_jaccard",
     "txt_simhash_pairs", "txt_cooccur", "txt_phrase_match", "txt_bm25_topk",
     "sim_ann_cosine", "graph_pagerank",
-    # r2 additions: blocked-GEMM near-dup, anchor stream, excerpts, phrases
+    # r2 additions: blocked-GEMM near-dup, anchor stream, excerpts, phrases,
+    # one-pass batch BM25
     "sim_neardup", "txt_anchor_terms", "txt_excerpts", "txt_keywords_phrases",
+    "txt_bm25_batch",
 ]
 
 BUILD_SNIPPET = """
