@@ -630,8 +630,11 @@ def q_txt_phrase_match(spark, sf):
 
 
 def q_sim_ann_ivf(spark, sf):
-    """IVF-cell approximate cosine top-5 (rows-only: kmeans cells are not
-    SQL-expressible; recall vs the exact op is asserted in tests/)."""
+    """IVF-cell approximate cosine top-5. The mini-kmeans is deterministic
+    and relational (id-ordered sample, strided init, rounded centroids), so
+    the DuckDB oracle replays the exact Voronoi cells — 5 unrolled Lloyd
+    iterations as CTEs; recall vs the exact op is additionally asserted in
+    tests/."""
     emb = load(spark, sf, "embeddings")
     return similarity.cosine_topk_ivf(
         emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5)
@@ -1454,6 +1457,84 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT doc_id, min(s) AS mins FROM emitted
                        GROUP BY 1) me ON me.doc_id = d.doc_id
             GROUP BY 1"""
+    # sim_ann_ivf: the mini-kmeans is deterministic AND relational by design
+    # (similarity.cosine_topk_ivf — id-ordered sample, strided init, argmin
+    # ties -> lowest cell, per-iteration centroids rounded to 9 decimals),
+    # so the 5 Lloyd iterations unroll into CTE triples (dist -> assign ->
+    # mean) exactly like graph_pagerank's unrolled cycles.
+    _ivf_cells, _ivf_probe, _ivf_iters, _ivf_k = 16, 4, 5, 5
+    _ivf_iter_ctes = []
+    for t in range(_ivf_iters):
+        _ivf_iter_ctes.append(f"""
+            dist{t} AS (SELECT e.rid, c.cell,
+                               sum((e.v - c.v) * (e.v - c.v)) AS d2
+                        FROM sel e JOIN cents{t} c ON e.i = c.i
+                        GROUP BY 1, 2),
+            asg{t} AS (SELECT rid, cell FROM (
+                         SELECT rid, cell,
+                                row_number() OVER (PARTITION BY rid
+                                    ORDER BY d2 ASC, cell ASC) AS rk
+                         FROM dist{t}) WHERE rk = 1),
+            avg{t} AS (SELECT a.cell, e.i, avg(e.v) AS v
+                       FROM asg{t} a JOIN sel e ON a.rid = e.rid
+                       GROUP BY 1, 2),
+            cents{t + 1} AS (SELECT p.cell, p.i,
+                                    round(coalesce(n.v, p.v), 9) AS v
+                             FROM cents{t} p LEFT JOIN avg{t} n
+                               ON p.cell = n.cell AND p.i = n.i)""")
+    sql['sim_ann_ivf'] = f"""
+            WITH srows AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+                                  AS rid, embedding
+                           FROM (SELECT vec_id, embedding FROM embeddings
+                                 ORDER BY vec_id LIMIT 4096)),
+            sel AS (SELECT rid, generate_subscripts(embedding, 1) AS i,
+                           CAST(unnest(embedding) AS DOUBLE) AS v
+                    FROM srows),
+            nsamp AS (SELECT count(*) AS n FROM srows),
+            cents0 AS (SELECT cs.cell, e.i, e.v
+                       FROM (SELECT unnest(range({_ivf_cells})) AS cell) cs
+                       CROSS JOIN nsamp
+                       JOIN sel e
+                         ON e.rid = (cs.cell * nsamp.n) // {_ivf_cells}),
+            {",".join(_ivf_iter_ctes)},
+            ev AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                          CAST(unnest(embedding) AS DOUBLE) AS v
+                   FROM embeddings),
+            vdist AS (SELECT e.vec_id, c.cell,
+                             sum((e.v - c.v) * (e.v - c.v)) AS d2
+                      FROM ev e JOIN cents{_ivf_iters} c ON e.i = c.i
+                      GROUP BY 1, 2),
+            vcell AS (SELECT vec_id, cell FROM (
+                        SELECT vec_id, cell,
+                               row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d2 ASC, cell ASC) AS rk
+                        FROM vdist) WHERE rk = 1),
+            probes AS (SELECT vec_id AS q_id, cell FROM (
+                         SELECT vec_id, cell,
+                                row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d2 ASC, cell ASC) AS rk
+                         FROM vdist WHERE vec_id < 10)
+                       WHERE rk <= {_ivf_probe}),
+            cand AS (SELECT p.q_id, v.vec_id AS n_id
+                     FROM probes p JOIN vcell v ON p.cell = v.cell
+                     WHERE v.vec_id != p.q_id),
+            el AS (SELECT c.q_id, c.n_id,
+                          unnest(a.embedding) AS qe, unnest(b.embedding) AS ne
+                   FROM cand c
+                   JOIN embeddings a ON a.vec_id = c.q_id
+                   JOIN embeddings b ON b.vec_id = c.n_id),
+            dots AS (SELECT q_id, n_id,
+                            sum(CAST(qe AS DOUBLE) * CAST(ne AS DOUBLE)) AS dot,
+                            sqrt(sum(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE))) AS nq,
+                            sqrt(sum(CAST(ne AS DOUBLE) * CAST(ne AS DOUBLE))) AS nn
+                     FROM el GROUP BY 1, 2),
+            ranked AS (SELECT q_id, n_id, dot / (nq * nn) AS c,
+                              row_number() OVER (PARTITION BY q_id
+                                  ORDER BY dot / (nq * nn) DESC, n_id ASC)
+                                  AS rank
+                       FROM dots)
+            SELECT q_id, rank, n_id, round(c, 6) AS cosine
+            FROM ranked WHERE rank <= {_ivf_k}"""
     # streaming op shares the batch oracle
     sql["stream_hourly_window"] = sql["evt_hourly_window"]
     return sql

@@ -185,27 +185,35 @@ def cosine_pairs_blocked(vectors: DataFrame, threshold: float,
 
 def cosine_topk_ivf(vectors: DataFrame, queries: DataFrame, dim: int,
                     k: int = 5, n_cells: int = 16, n_probe: int = 4,
-                    kmeans_iters: int = 5, seed: int = 42,
+                    kmeans_iters: int = 5,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     round_to: int = 6) -> DataFrame:
     """IVF-style approximate top-k: vectors are partitioned into ``n_cells``
-    Voronoi cells (deterministic mini-kmeans on a seeded driver-side sample —
-    at 100 TB the sample is a tiny `.sample()` collect, the assignment stays
+    Voronoi cells (deterministic mini-kmeans on a driver-side sample —
+    at 100 TB the sample is a tiny top-N collect, the assignment stays
     distributed); each query probes its ``n_probe`` nearest cells and scores
     exactly within them. The standard recall/candidate dial alongside the
     hyperplane-LSH variant.
 
-    Deterministic: fixed sample, fixed init (first distinct sample rows),
-    fixed Lloyd iteration count."""
+    Every step is deterministic AND relational (SQL-expressible), so the
+    driver's DuckDB oracle can replay the exact cells:
+    - sample = first 4096 vectors by ``id_col`` (TakeOrdered, not partition
+      order);
+    - init centroid c = sample row at index ``c * n_sample // n_cells``
+      (strided — no RNG);
+    - Lloyd: argmin assignment (ties -> lowest cell), mean per cell (empty
+      cell keeps its previous centroid), centroids rounded to 9 decimals
+      after every iteration so numpy pairwise summation and SQL aggregate
+      order cannot drift apart."""
     import numpy as np
     import pandas as pd
 
     sample = np.array(
         [np.asarray(r[vec_col], dtype=np.float64)
-         for r in vectors.select(vec_col).limit(4096).collect()])
-    rng = np.random.Generator(np.random.PCG64(seed))
-    idx = rng.permutation(len(sample))[:n_cells]
-    cents = sample[idx].copy()
+         for r in vectors.select(id_col, vec_col)
+                         .orderBy(id_col).limit(4096).collect()])
+    stride_idx = [c * len(sample) // n_cells for c in range(n_cells)]
+    cents = sample[stride_idx].copy()
     for _ in range(kmeans_iters):
         d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)
@@ -213,6 +221,7 @@ def cosine_topk_ivf(vectors: DataFrame, queries: DataFrame, dim: int,
             members = sample[assign == c]
             if len(members):
                 cents[c] = members.mean(axis=0)
+        cents = np.round(cents, 9)
     spark = vectors.sparkSession
     b_cents = spark.sparkContext.broadcast(cents)
 
