@@ -4,9 +4,9 @@ Each ``queries()`` entry is an implemented operator from SURVEY.md §2 (or a
 training-data-pipeline op), expressed Spark-first in
 ``hadoopsearchengine_spark``; ``oracle_sql()`` carries the DuckDB-equivalent
 ANSI SQL run by the driver at sf=0.01 (row-count + schema + value-hash).
-Entries without oracle SQL (iterative / hash-engine-specific / streaming ops)
-get the driver's weaker rows-only check and are verified against python
-oracles in tests/ instead.
+Every entry has oracle SQL (50/50) — the iterative ops (PageRank cycles,
+IVF kmeans) unroll their fixed iteration counts into chained CTEs; the
+hash-dependent ops use engine-agnostic md5 modes.
 
 Naming: q_<family>_<op>. Every computed column is aliased identically in the
 Spark plan and the SQL so the driver's column-sorted value hash lines up.
@@ -679,6 +679,65 @@ def q_txt_corpus_filter(spark, sf):
             .select("doc_id"))
 
 
+def q_txt_repetition(spark, sf):
+    """Gopher-style repetition quality signals (Rae et al. 2021, App. A —
+    repetitious text is the strongest cheap low-quality indicator for
+    web-scale training data): per doc with >= 3 tokens, the top-unigram
+    share, top-bigram share, and duplicate-trigram fraction. Grams are
+    built JVM-side (transform/sequence/slice — no Python, no self-join);
+    ONE union + ONE groupBy computes all three gram orders, mirroring the
+    fused doc_terms field-stream shape."""
+    d = load(spark, sf, "documents")
+    t = (d.select("doc_id", tokens_col(F.col("text")).alias("ts"))
+         .filter(F.size("ts") >= 3))
+
+    def gram_rows(n, tag):
+        g = F.col("ts") if n == 1 else F.transform(
+            F.sequence(F.lit(1), F.size("ts") - (n - 1)),
+            lambda i: F.array_join(F.slice(F.col("ts"), i, n), " "))
+        return t.select("doc_id", F.explode(g).alias("g"),
+                        F.lit(tag).alias("tag"))
+
+    rows = (gram_rows(1, "u").unionByName(gram_rows(2, "b"))
+            .unionByName(gram_rows(3, "t")))
+    per = rows.groupBy("doc_id", "tag", "g").agg(F.count("*").alias("tf"))
+    agg = per.groupBy("doc_id", "tag").agg(
+        F.max("tf").alias("mx"), F.sum("tf").alias("tot"),
+        F.count("*").alias("nd"))
+    return agg.groupBy("doc_id").agg(
+        F.max(F.when(F.col("tag") == "u", F.col("tot"))).alias("n_tokens"),
+        _trunc6(F.max(F.when(F.col("tag") == "u",
+                             F.col("mx") / F.col("tot"))))
+        .alias("top_unigram_share"),
+        _trunc6(F.max(F.when(F.col("tag") == "b",
+                             F.col("mx") / F.col("tot"))))
+        .alias("top_bigram_share"),
+        _trunc6(F.max(F.when(F.col("tag") == "t",
+                             F.lit(1.0) - F.col("nd") / F.col("tot"))))
+        .alias("dup_trigram_frac"))
+
+
+MIX_QUOTAS = {"en": 400, "fr": 700, "de": 700, "es": 700, "zh": 700}
+MIX_DEFAULT_QUOTA = 1000
+
+
+def q_txt_mix_sample(spark, sf):
+    """Deterministic stratified data-mixing sampler (the down-sampling step
+    of a training-data pipeline: per-language keep quotas, reproducible
+    across runs/engines because membership is a pure hash of the key, not
+    an RNG): keep doc iff md5-bucket(doc_id) mod 1000 < quota(lang).
+    Embarrassingly parallel — a filter, no shuffle at any scale."""
+    d = load(spark, sf, "documents")
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                 1, 6), 16, 10)
+              .cast("long") % 1000)
+    quota = F.lit(MIX_DEFAULT_QUOTA)
+    for lang, q in MIX_QUOTAS.items():
+        quota = F.when(F.col("lang") == lang, q).otherwise(quota)
+    return (d.select("doc_id", "lang", bucket.alias("bucket"))
+            .filter(F.col("bucket") < quota))
+
+
 def q_txt_anchor_terms(spark, sf):
     """Anchor-text hits re-keyed to the TARGET document (the reference's
     anchor hit stream, CompileHitList.h:316-319 / hadoopsearchengine_spark
@@ -811,6 +870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivf": q_sim_ann_ivf,
         "src_json_roundtrip": q_src_json_roundtrip,
         "txt_corpus_filter": q_txt_corpus_filter,
+        "txt_repetition": q_txt_repetition,
+        "txt_mix_sample": q_txt_mix_sample,
         "txt_anchor_terms": q_txt_anchor_terms,
         "txt_excerpts": q_txt_excerpts,
         "txt_keywords_phrases": q_txt_keywords_phrases,
@@ -1535,6 +1596,49 @@ def oracle_sql() -> dict[str, str]:
                        FROM dots)
             SELECT q_id, rank, n_id, round(c, 6) AS cosine
             FROM ranked WHERE rank <= {_ivf_k}"""
+    # txt_repetition: same fused gram-stream shape in SQL
+    sql['txt_repetition'] = f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            t3 AS (SELECT doc_id, ts FROM toks WHERE len(ts) >= 3),
+            uni AS (SELECT doc_id, unnest(ts) AS g, 'u' AS tag FROM t3),
+            bi AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g, 'b' AS tag
+                   FROM (SELECT doc_id, ts,
+                                unnest(generate_series(1, len(ts) - 1)) AS i
+                         FROM t3)),
+            tri AS (SELECT doc_id,
+                           ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g,
+                           't' AS tag
+                    FROM (SELECT doc_id, ts,
+                                 unnest(generate_series(1, len(ts) - 2)) AS i
+                          FROM t3)),
+            allg AS (SELECT * FROM uni UNION ALL SELECT * FROM bi
+                     UNION ALL SELECT * FROM tri),
+            per AS (SELECT doc_id, tag, g, count(*) AS tf
+                    FROM allg GROUP BY 1, 2, 3),
+            agg AS (SELECT doc_id, tag, max(tf) AS mx, sum(tf) AS tot,
+                           count(*) AS nd
+                    FROM per GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(max(CASE WHEN tag = 'u' THEN tot END) AS BIGINT)
+                       AS n_tokens,
+                   floor(max(CASE WHEN tag = 'u' THEN mx * 1.0 / tot END)
+                         * 1000000) / 1000000 AS top_unigram_share,
+                   floor(max(CASE WHEN tag = 'b' THEN mx * 1.0 / tot END)
+                         * 1000000) / 1000000 AS top_bigram_share,
+                   floor(max(CASE WHEN tag = 't' THEN 1.0 - nd * 1.0 / tot
+                             END) * 1000000) / 1000000 AS dup_trigram_frac
+            FROM agg GROUP BY 1"""
+    # txt_mix_sample: md5-bucket membership replayed with DuckDB's hex cast
+    _mix_case = " ".join(
+        f"WHEN lang = '{lang}' THEN {q}" for lang, q in MIX_QUOTAS.items())
+    sql['txt_mix_sample'] = f"""
+            WITH b AS (SELECT doc_id, lang,
+                              CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                                  1, 6) AS BIGINT) % 1000
+                                  AS bucket
+                       FROM documents)
+            SELECT doc_id, lang, bucket FROM b
+            WHERE bucket < CASE {_mix_case} ELSE {MIX_DEFAULT_QUOTA} END"""
     # streaming op shares the batch oracle
     sql["stream_hourly_window"] = sql["evt_hourly_window"]
     return sql
