@@ -186,7 +186,8 @@ def build_index(spark, pages: DataFrame | str, index_dir: str, *,
     """
     if isinstance(pages, str):
         pages_path = pages
-        pages = spark.read.parquet(pages_path)
+        from ..sources.iceberg import read_pages
+        pages = read_pages(spark, pages_path)  # iceberg:/parquet:/bare path
     else:
         pages_path = "<inline>"
     m = Manifest(spark, index_dir)
