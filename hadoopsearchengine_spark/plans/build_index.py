@@ -114,6 +114,85 @@ def _doc_terms_batches(iterator):
                             "title_tf": 0, "meta_tf": 0, "alt_tf": 0})
 
 
+def _doc_terms_grouped_arrow(iterator):
+    """Map-only doc_terms: each input row (one doc, per-field token arrays
+    b/t/a/m projected JVM-side by tokens_col) yields every (doc, term) row of
+    that doc. (doc, term) grouping is doc-local by construction, so doing it
+    inside the scan task needs ZERO shuffle — the r2.0 shape (union of four
+    exploded field streams + groupBy) moved ~300 rows/doc through the
+    exchange to compute the same thing, and the concurrent spill of that
+    aggregation was the one stage that did not scale with cores. All the
+    work here is vectorized Arrow C++ / numpy over whole batches: flatten,
+    dictionary-encode, bincount — no per-token Python.
+
+    Output rows/values are identical to the old groupBy (verified
+    row-for-row, tests/test_index.py): body tokens carry tf + ascending
+    kept-sequence positions; title/img-alt/meta tokens count into
+    title_tf/alt_tf/meta_tf; meta-only terms surface with tf=0,
+    positions=[] (reference hit fields, Webpage.h:139-176)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("term", pa.string()), ("tf", pa.int32()),
+        ("positions", pa.list_(pa.int32())), ("title_tf", pa.int32()),
+        ("meta_tf", pa.int32()), ("alt_tf", pa.int32())])
+    # field order: body first (its concat segment is [0, n_b) — positions
+    # depend on that), then title/img-alt/meta
+    fields = ("b", "t", "a", "m")
+
+    for batch in iterator:
+        n = batch.num_rows
+        if n == 0:
+            continue
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        row_idx, fld, flat, b_lens = [], [], [], None
+        for fi, name in enumerate(fields):
+            col = batch.column(name)
+            lens = (pc.list_value_length(col).fill_null(0)
+                    .to_numpy(zero_copy_only=False).astype(np.int64))
+            flat.append(pc.list_flatten(col))  # null lists flatten to nothing
+            row_idx.append(np.repeat(np.arange(n, dtype=np.int64), lens))
+            fld.append(np.full(int(lens.sum()), fi, dtype=np.int8))
+            if fi == 0:
+                b_lens = lens
+        enc = pc.dictionary_encode(pa.concat_arrays(flat))
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_terms = len(enc.dictionary)
+        if n_terms == 0:
+            yield pa.RecordBatch.from_pylist([], schema=out_schema)
+            continue
+        row_all = np.concatenate(row_idx)
+        fld_all = np.concatenate(fld)
+        key = row_all * n_terms + codes
+        uniq, inv = np.unique(key, return_inverse=True)
+        g = len(uniq)
+
+        def field_tf(fi):
+            return np.bincount(inv[fld_all == fi],
+                               minlength=g).astype(np.int32)
+
+        tf = field_tf(0)
+        # body positions: kept-sequence index within the doc; stable sort by
+        # group keeps within-group input order => ascending per group
+        n_b = int(b_lens.sum())
+        starts = np.cumsum(b_lens) - b_lens
+        bpos = np.arange(n_b, dtype=np.int64) - np.repeat(starts, b_lens)
+        order = np.argsort(inv[:n_b], kind="stable")
+        pos_values = pa.array(bpos[order], type=pa.int32())
+        pos_offsets = pa.array(np.concatenate([[0], np.cumsum(tf)]),
+                               type=pa.int32())
+        yield pa.RecordBatch.from_arrays([
+            pa.array(doc_ids[uniq // n_terms], type=pa.int64()),
+            pc.take(enc.dictionary, pa.array(uniq % n_terms)),
+            pa.array(tf),
+            pa.ListArray.from_arrays(pos_offsets, pos_values),
+            pa.array(field_tf(1)),
+            pa.array(field_tf(3)),
+            pa.array(field_tf(2)),
+        ], schema=out_schema)
+
+
 def _build_blocks(pdf: pd.DataFrame, block_docs: int) -> pd.DataFrame:
     """One (term_id, bucket) group -> posting-block rows (POSTING_BLOCK_SCHEMA
     minus block_no; payloads are self-contained so buckets concatenate)."""
@@ -234,60 +313,34 @@ def build_index(spark, pages: DataFrame | str, index_dir: str, *,
 
     # -- doc_terms ---------------------------------------------------------
     def w_doc_terms(out):
-        # fully JVM-side: posexplode of the Catalyst tokenizer expression
+        # Map-only: tokenization stays a Catalyst expression
         # (functions.text.tokens_col — proven token-for-token equal to
-        # kernel.tokenize in tests/test_functions.py) + hash aggregation.
-        # Measured 2.7x faster than the Arrow/Python kernel pass on 96k docs
-        # (21.9s vs 59.7s at 16 cores), identical rows; positions are the
-        # kept-sequence indexes, same as the kernel. _doc_terms_batches
-        # remains the shared-kernel reference path (streaming uses it).
-        # ONE union + ONE groupBy computes every per-field stream (the
-        # reference's hit type bits, FileStorage.h:205-274 / weights
-        # Webpage.h:139-176): body tokens carry positions; title and img-alt
-        # tokens are subsets of the body text; meta keywords are NOT body
-        # text, so their rows surface naturally with tf=0 and positions=[]
-        # (retrievable under field-weighted scoring only). The r1 shape
-        # (3 per-field aggs + 3 joins) paid 4+ shuffles of the same stream —
-        # this pays exactly one.
+        # kernel.tokenize in tests/test_functions.py); per-(doc,term)
+        # grouping happens inside the scan task via the vectorized Arrow
+        # kernel (_doc_terms_grouped_arrow) because it is doc-local by
+        # construction. Zero shuffle — scan, project, kernel, write.
+        # History: r1 paid 4+ shuffles (per-field aggs + joins); r2.0 fused
+        # them into one union+groupBy (one shuffle of ~300 rows/doc), but
+        # that aggregation's concurrent sort/spill made doc_terms the one
+        # stage whose wall time did NOT improve with cores (75 s at
+        # local[2] -> 124 s at local[8], 48k docs). The map-only kernel
+        # removes the exchange entirely, so the stage scales exactly like
+        # the scan. _doc_terms_batches remains the shared-kernel reference
+        # path (streaming uses it).
         from ..functions.text import tokens_col
-
-        def field_rows(col_expr, tag, with_pos=False):
-            if with_pos:
-                return extracted.select(
-                    "doc_id",
-                    F.posexplode(col_expr).alias("pos", "term"),
-                    F.lit(tag).alias("fld"))
-            return extracted.select(
-                "doc_id",
-                F.explode(col_expr).alias("term"),
-                F.lit(None).cast("int").alias("pos"),
-                F.lit(tag).alias("fld"))
 
         def chunk_tokens(col):
             # tokens of every string in an array column, one flat array
             return F.flatten(F.transform(col, lambda c: tokens_col(c)))
 
-        rows = (field_rows(tokens_col(F.col("text")), "b", with_pos=True)
-                .select("doc_id", "term", "pos", "fld")
-                .unionByName(field_rows(tokens_col(F.col("title")), "t"))
-                .unionByName(field_rows(
-                    chunk_tokens(F.col("img_alts")), "a"))
-                .unionByName(field_rows(
-                    chunk_tokens(F.col("meta_keywords")), "m")))
-        df = (rows.groupBy("doc_id", "term")
-              .agg(F.count(F.when(F.col("fld") == "b", 1))
-                   .cast("int").alias("tf"),
-                   F.sort_array(F.collect_list(
-                       F.when(F.col("fld") == "b", F.col("pos"))))
-                   .alias("positions"),
-                   F.count(F.when(F.col("fld") == "t", 1))
-                   .cast("int").alias("title_tf"),
-                   F.count(F.when(F.col("fld") == "m", 1))
-                   .cast("int").alias("meta_tf"),
-                   F.count(F.when(F.col("fld") == "a", 1))
-                   .cast("int").alias("alt_tf"))
-              .select("doc_id", "term", "tf", "positions", "title_tf",
-                      "meta_tf", "alt_tf"))
+        prepped = extracted.select(
+            "doc_id",
+            tokens_col(F.col("text")).alias("b"),
+            tokens_col(F.col("title")).alias("t"),
+            chunk_tokens(F.col("img_alts")).alias("a"),
+            chunk_tokens(F.col("meta_keywords")).alias("m"))
+        df = prepped.mapInArrow(_doc_terms_grouped_arrow,
+                                schema=DOC_TERMS_SCHEMA)
         df.write.mode("overwrite").parquet(out)
         return n_pages
     _stage(m, "doc_terms", base_ref, paths["doc_terms"], w_doc_terms, resume)

@@ -42,6 +42,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Local-mode split sizing: bench/test inputs are sub-GB, so Spark's
+        # default 128 MB splits leave scan-rooted stages with 2-3 tasks —
+        # stragglers and idle slots dominate. 16 MB keeps >=8 tasks per
+        # stage at bench scale; measured 2.2x on the full 48k-page build
+        # (local[2] 505s -> 231s, local[8] 261s -> 162s, BENCH/BASELINE.md).
+        # A real cluster reading TB-scale inputs wants the 128 MB default
+        # back — override via extra_conf / spark-submit --conf (the env knob
+        # exists for exactly that).
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_SPLIT_BYTES",
+                               str(16 * 1024 * 1024)))
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                str(8 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -189,3 +189,64 @@ def test_head_term_salting_bounds_group_sizes(tables):
         # df spread over the doc space
         partial = (grp["n_docs"] < 64).sum()
         assert partial >= 2, (t["term"], int(t["df"]), len(grp))
+
+
+def test_doc_terms_kernel_matches_declarative_groupby(spark, index_dir):
+    """The map-only Arrow kernel (zero-shuffle doc_terms) is row-for-row
+    identical to the declarative formulation it replaced: union of the four
+    exploded field streams + groupBy(doc_id, term). The kernel is the scale
+    path (doc-local grouping must not pay an exchange); the groupBy shape
+    stays here as the Catalyst-checked oracle of its semantics."""
+    from pyspark.sql import functions as F
+
+    from hadoopsearchengine_spark.functions.text import tokens_col
+    from hadoopsearchengine_spark.plans.build_index import (
+        DOC_TERMS_SCHEMA, _doc_terms_grouped_arrow)
+
+    ex = spark.read.parquet(f"{index_dir}/extracted")
+
+    def chunk_tokens(col):
+        return F.flatten(F.transform(col, lambda c: tokens_col(c)))
+
+    def field_rows(col_expr, tag, with_pos=False):
+        if with_pos:
+            return ex.select("doc_id",
+                             F.posexplode(col_expr).alias("pos", "term"),
+                             F.lit(tag).alias("fld"))
+        return ex.select("doc_id", F.explode(col_expr).alias("term"),
+                         F.lit(None).cast("int").alias("pos"),
+                         F.lit(tag).alias("fld"))
+
+    rows = (field_rows(tokens_col(F.col("text")), "b", with_pos=True)
+            .select("doc_id", "term", "pos", "fld")
+            .unionByName(field_rows(tokens_col(F.col("title")), "t"))
+            .unionByName(field_rows(chunk_tokens(F.col("img_alts")), "a"))
+            .unionByName(field_rows(chunk_tokens(F.col("meta_keywords")),
+                                    "m")))
+    oracle = (rows.groupBy("doc_id", "term")
+              .agg(F.count(F.when(F.col("fld") == "b", 1))
+                   .cast("int").alias("tf"),
+                   F.sort_array(F.collect_list(
+                       F.when(F.col("fld") == "b", F.col("pos"))))
+                   .alias("positions"),
+                   F.count(F.when(F.col("fld") == "t", 1))
+                   .cast("int").alias("title_tf"),
+                   F.count(F.when(F.col("fld") == "m", 1))
+                   .cast("int").alias("meta_tf"),
+                   F.count(F.when(F.col("fld") == "a", 1))
+                   .cast("int").alias("alt_tf")))
+    kernel = (ex.select("doc_id",
+                        tokens_col(F.col("text")).alias("b"),
+                        tokens_col(F.col("title")).alias("t"),
+                        chunk_tokens(F.col("img_alts")).alias("a"),
+                        chunk_tokens(F.col("meta_keywords")).alias("m"))
+              .mapInArrow(_doc_terms_grouped_arrow, schema=DOC_TERMS_SCHEMA))
+
+    def rows_of(df):
+        return sorted((r.doc_id, r.term, r.tf, tuple(r.positions),
+                       r.title_tf, r.meta_tf, r.alt_tf)
+                      for r in df.collect())
+
+    got, want = rows_of(kernel), rows_of(oracle)
+    assert len(got) > 0
+    assert got == want
