@@ -207,14 +207,18 @@ def main():
                 print(f"  rep{rep} local[{c}]: {r['sec']:.1f}s",
                       file=sys.stderr)
 
-        def med(level, key=None):
+        def agg(level, pick, key=None):
             vals = sorted(
                 (r["sec"] if key is None else
                  sum(r["stage_sec"].get(s, 0.0) for s in PARALLEL_STAGES))
                 for r in runs[level])
-            return vals[len(vals) // 2]
+            return vals[len(vals) // 2] if pick == "med" else vals[0]
+        med = lambda level, key=None: agg(level, "med", key)
         t_lo, t_hi = med(lo), med(hi)
         p_lo, p_hi = med(lo, "p"), med(hi, "p")
+        # best-of-N approximates the uncontended box (identical runs swing
+        # 2x+ on this shared host, BASELINE.md) — report alongside medians
+        bt_lo, bt_hi = agg(lo, "best"), agg(hi, "best")
         tput_lo, tput_hi = sc_pages / t_lo, sc_pages / t_hi
         factor = hi / lo
         result["scaling"] = {
@@ -227,6 +231,7 @@ def main():
             "docs_per_sec_low": round(tput_lo, 1),
             "docs_per_sec_high": round(tput_hi, 1),
             "efficiency": round(tput_hi / (factor * tput_lo), 3),
+            "efficiency_best": round(bt_lo / (factor * bt_hi), 3),
             "parallel_stages_low_sec": round(p_lo, 2),
             "parallel_stages_high_sec": round(p_hi, 2),
             "parallel_stages_efficiency": round(

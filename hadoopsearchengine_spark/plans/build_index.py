@@ -1,31 +1,38 @@
 """The staged index build: pages -> inverted index (Spark-first).
 
-Stage graph (each stage = one DataFrame action writing parquet + a manifest
-row; barriers between stages mirror the reference's process-spawn barriers,
-reference DyableCommand/DyableCommand.cpp:641-724):
+Stage DAG (each stage = one DataFrame action writing parquet + a manifest
+row; the reference runs the equivalent pipeline as strictly serial
+process-spawn barriers, reference DyableCommand/DyableCommand.cpp:641-724 —
+here independent stages run CONCURRENTLY, see _finish_index):
 
     docs_ids      urls -> dense doc ids (distributed prefix-sum rank)
     extracted     html -> (text, title, links[], anchors[], img_alts[],
                   meta_keywords[], excerpts[]) via one Arrow-batched kernel
                   pass [reference stage DyableParseHTML, SURVEY §2.2 #1;
                   excerpt records DocumentInstance.h:129-160]
+    ── concurrent wave 1 ──
     doc_terms     text/title/alt/meta streams -> (doc_id, term, tf,
-                  positions[], title_tf, meta_tf, alt_tf) in ONE
-                  union+groupBy [DyableIndex, #3; hit fields
+                  positions[], title_tf, meta_tf, alt_tf) — MAP-ONLY:
+                  JVM tokenizer projection + in-task Arrow grouping kernel,
+                  zero shuffle [DyableIndex, #3; hit fields
                   Webpage.h:139-176]
     anchor_terms  anchor text re-keyed to the TARGET doc: (doc_id, term,
                   anchor_tf) [CompileHitList.h:316-319]
-    terms         term dictionary over all streams + BODY df/cf + dense ids
-                  [DyableLogFile + CreateWordList, #4/#6]
     links         anchor edges -> weighted, deduped, top-10/src, normalized
                   [CreateBinaryLinks + CreateClusteredLinkSet, #8a/b]
-    docs          doc stats + text checksum + 20-cycle PageRank priors
-                  [PulseRank, #8c]
+    pagerank      20-cycle PageRank fixpoint over links — chained after
+                  links inside wave 1 so the latency-bound iteration
+                  ladder hides under doc_terms [PulseRank, #8c]
+    ── concurrent wave 2 ──
+    terms         term dictionary over all streams + BODY df/cf + dense ids
+                  [DyableLogFile + CreateWordList, #4/#6]
+    docs          doc stats + text checksum + prior assembly
+    ── tail ──
+    stats         scalar corpus stats (n_docs, avgdl)
     postings      BM25-scored posting blocks (body ⟗ anchor streams):
                   delta+varint payloads, per-field tf streams, block-max
                   plain AND field-weighted scores, head-term range-bucket
                   salting [SortHitList + CompileLookupIndex, #14/#15]
-    stats         scalar corpus stats (n_docs, avgdl)
 
 Skew: the posting build groups by (term_id, bucket) where head terms
 (df > head_df_threshold) are salted by doc-id RANGE buckets — ranges, not
@@ -256,7 +263,8 @@ def build_index(spark, pages: DataFrame | str, index_dir: str, *,
                 head_df_threshold: int = 50_000,
                 n_range_buckets: int | None = None,
                 pagerank_iters: int = 20,
-                resume: bool = False) -> dict:
+                resume: bool = False,
+                concurrent_stages: bool = True) -> dict:
     """Build the full index under ``index_dir``. Returns stage paths + stats.
 
     resume=True skips any stage whose manifest row matches the current input
@@ -290,7 +298,7 @@ def build_index(spark, pages: DataFrame | str, index_dir: str, *,
                            content_sig)
     paths = {s: f"{index_dir}/{s}" for s in
              ("docs_ids", "extracted", "doc_terms", "anchor_terms", "terms",
-              "links", "docs", "postings", "stats")}
+              "links", "pagerank", "docs", "postings", "stats")}
 
     # -- docs_ids: dense rank over url ------------------------------------
     def w_docs_ids(out):
@@ -343,25 +351,44 @@ def build_index(spark, pages: DataFrame | str, index_dir: str, *,
                                 schema=DOC_TERMS_SCHEMA)
         df.write.mode("overwrite").parquet(out)
         return n_pages
-    _stage(m, "doc_terms", base_ref, paths["doc_terms"], w_doc_terms, resume)
+
+    doc_terms_thunk = lambda: _stage(m, "doc_terms", base_ref,
+                                     paths["doc_terms"], w_doc_terms, resume)
 
     return _finish_index(spark, m, base_ref, paths, n_pages,
                          block_docs=block_docs,
                          head_df_threshold=head_df_threshold,
                          n_buckets=n_buckets, pagerank_iters=pagerank_iters,
-                         resume=resume)
+                         resume=resume, doc_terms_thunk=doc_terms_thunk,
+                         concurrent_stages=concurrent_stages)
 
 
 def _finish_index(spark, m: Manifest, base_ref: str, paths: dict,
                   n_pages: int, *, block_docs: int, head_df_threshold: int,
-                  n_buckets: int, pagerank_iters: int, resume: bool) -> dict:
-    """Stages downstream of (docs_ids, extracted, doc_terms) — shared by the
-    fresh build and by merge_indexes (which supplies re-keyed shard outputs
-    for the first three stages instead of re-running extraction)."""
+                  n_buckets: int, pagerank_iters: int, resume: bool,
+                  doc_terms_thunk=None, concurrent_stages: bool = True) -> dict:
+    """Stages downstream of (docs_ids, extracted) — shared by the fresh
+    build and by merge_indexes (which supplies re-keyed shard outputs for
+    the first three stages instead of re-running extraction).
+
+    Independent stages run CONCURRENTLY (threads submitting Spark jobs; the
+    scheduler interleaves their tasks): doc_terms ∥ anchor_terms ∥ links,
+    then terms ∥ docs. Stage walls at the high-core level are dominated by
+    task tails — filling idle slots with the next independent stage's tasks
+    is what a multi-tenant cluster scheduler does for free, and in local
+    mode it removes most of the serial floor between the big stages (the
+    reference runs its pipeline as strictly serial process barriers,
+    DyableCommand.cpp:641-724 — Spark's DAG lets us do better). The
+    manifest is safe under this (one uniquely-named file per stage record);
+    `concurrent_stages=False` restores strictly sequential stages for clean
+    per-stage timing. doc_terms_thunk: deferred doc_terms stage from
+    build_index, so it can overlap anchor_terms/links; merge_indexes leaves
+    it None (its doc_terms is already on disk)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     p = spark.sparkContext.defaultParallelism
     docs_ids = spark.read.parquet(paths["docs_ids"])
     extracted = spark.read.parquet(paths["extracted"])
-    doc_terms = spark.read.parquet(paths["doc_terms"])
 
     # -- anchor_terms: anchor text re-keyed to the TARGET doc ---------------
     # (the reference writes anchor hits against the destination document,
@@ -387,15 +414,14 @@ def _finish_index(spark, m: Manifest, base_ref: str, paths: dict,
               .agg(F.count("*").cast("int").alias("anchor_tf")))
         at.write.mode("overwrite").parquet(out)
         return -1
-    _stage(m, "anchor_terms", base_ref, paths["anchor_terms"],
-           w_anchor_terms, resume)
-    anchor_terms = spark.read.parquet(paths["anchor_terms"])
 
     # -- terms: dictionary + df/cf + dense ids ------------------------------
     # df/cf are BODY statistics (df counts tf>0 rows — meta-only doc_terms
     # rows don't inflate idf); the dictionary itself covers every term seen
     # in ANY stream so anchor-/meta-only terms stay retrievable.
     def w_terms(out):
+        doc_terms = spark.read.parquet(paths["doc_terms"])
+        anchor_terms = spark.read.parquet(paths["anchor_terms"])
         # checkpoint the per-term stats (tiny) — the anti-join AND the union
         # both consume it, and without materialization each would re-run the
         # full doc_terms scan+aggregate
@@ -410,8 +436,6 @@ def _finish_index(spark, m: Manifest, base_ref: str, paths: dict,
         assign_dense_ids(stats.unionByName(anchor_only), "term", "term_id",
                          p).write.mode("overwrite").parquet(out)
         return -1
-    _stage(m, "terms", base_ref, paths["terms"], w_terms, resume)
-    terms = spark.read.parquet(paths["terms"])
 
     # -- links: resolve anchors, weight, cull, normalize --------------------
     def w_links(out):
@@ -427,17 +451,27 @@ def _finish_index(spark, m: Manifest, base_ref: str, paths: dict,
                     (dom(F.col("link")) == F.col("sdom")).alias("affiliated")))
         build_link_graph(edges).write.mode("overwrite").parquet(out)
         return -1
-    _stage(m, "links", base_ref, paths["links"], w_links, resume)
-    links = spark.read.parquet(paths["links"])
 
-    # -- docs: doc_len + PageRank prior -------------------------------------
+    # -- pagerank: the 20-cycle fixpoint, its own stage --------------------
+    # Needs ONLY the link graph, so it runs in the first concurrent wave
+    # chained after links — the iteration ladder (latency-bound, low CPU)
+    # hides completely under doc_terms' heavy scan instead of serializing
+    # after it. [PulseRank, SURVEY §2.2 #8c]
+    def w_pagerank(out):
+        links = spark.read.parquet(paths["links"])
+        pagerank(links, n_pages, docs_ids.select("doc_id"),
+                 iterations=pagerank_iters, num_partitions=p)\
+            .write.mode("overwrite").parquet(out)
+        return n_pages
+
+    # -- docs: doc_len + prior assembly -------------------------------------
     def w_docs(out):
+        doc_terms = spark.read.parquet(paths["doc_terms"])
         doc_len = doc_terms.groupBy("doc_id").agg(
             F.sum("tf").alias("doc_len"))
         base = (docs_ids.join(doc_len, "doc_id", "left")
                 .fillna(0, subset=["doc_len"]))
-        pr = pagerank(links, n_pages, docs_ids.select("doc_id"),
-                      iterations=pagerank_iters, num_partitions=p)
+        pr = spark.read.parquet(paths["pagerank"])
         # text_fp: content checksum for the query-time duplicate cut
         # (reference CompileRankedList.h:206-242 removes checksum-identical
         # results from the ranked list)
@@ -447,16 +481,50 @@ def _finish_index(spark, m: Manifest, base_ref: str, paths: dict,
                  (F.col("pagerank") * F.lit(float(n_pages))).alias("prior"))
          .write.mode("overwrite").parquet(out))
         return n_pages
-    _stage(m, "docs", base_ref, paths["docs"], w_docs, resume)
-    docs = spark.read.parquet(paths["docs"])
 
     # -- stats ---------------------------------------------------------------
     def w_stats(out):
-        (docs.agg(F.count("*").alias("n_docs"),
-                  F.avg("doc_len").alias("avgdl"))
+        (spark.read.parquet(paths["docs"])
+         .agg(F.count("*").alias("n_docs"),
+              F.avg("doc_len").alias("avgdl"))
          .write.mode("overwrite").parquet(out))
         return 1
+
+    def stage_thunk(name, fn):
+        return lambda: _stage(m, name, base_ref, paths[name], fn, resume)
+
+    # dependency DAG: {doc_terms, anchor_terms, links} all need only
+    # (extracted, docs_ids); terms needs doc_terms+anchor_terms; docs needs
+    # doc_terms+links; stats needs docs; postings needs everything.
+    def links_then_pagerank():
+        stage_thunk("links", w_links)()
+        stage_thunk("pagerank", w_pagerank)()
+
+    if concurrent_stages:
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            wave1 = [pool.submit(t) for t in filter(None, (
+                doc_terms_thunk,
+                stage_thunk("anchor_terms", w_anchor_terms),
+                links_then_pagerank))]
+            for f in wave1:
+                f.result()
+            wave2 = [pool.submit(stage_thunk("terms", w_terms)),
+                     pool.submit(stage_thunk("docs", w_docs))]
+            for f in wave2:
+                f.result()
+    else:
+        for t in filter(None, (doc_terms_thunk,
+                               stage_thunk("anchor_terms", w_anchor_terms),
+                               links_then_pagerank,
+                               stage_thunk("terms", w_terms),
+                               stage_thunk("docs", w_docs))):
+            t()
     _stage(m, "stats", base_ref, paths["stats"], w_stats, resume)
+
+    doc_terms = spark.read.parquet(paths["doc_terms"])
+    anchor_terms = spark.read.parquet(paths["anchor_terms"])
+    terms = spark.read.parquet(paths["terms"])
+    docs = spark.read.parquet(paths["docs"])
     stat = spark.read.parquet(paths["stats"]).collect()[0]
     n_docs, avgdl = int(stat["n_docs"]), float(stat["avgdl"])
 

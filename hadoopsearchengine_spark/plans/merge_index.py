@@ -57,7 +57,7 @@ def merge_indexes(spark, shard_dirs: list[str], index_dir: str, *,
                            head_df_threshold, n_buckets, pagerank_iters)
     paths = {s: f"{index_dir}/{s}" for s in
              ("docs_ids", "extracted", "doc_terms", "anchor_terms", "terms",
-              "links", "docs", "postings", "stats")}
+              "links", "pagerank", "docs", "postings", "stats")}
 
     def shard_union(table: str):
         df = spark.read.parquet(f"{shard_dirs[0]}/{table}")
