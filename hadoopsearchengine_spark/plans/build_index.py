@@ -239,6 +239,47 @@ def _build_blocks(pdf: pd.DataFrame, block_docs: int) -> pd.DataFrame:
         "meta_tfs", "alt_tfs"])
 
 
+def _build_blocks_scored(pdf: pd.DataFrame, block_docs: int, avgdl: float,
+                         n_docs: int) -> pd.DataFrame:
+    """One (term_id, bucket) group from the UNIONED body+anchor streams:
+    merge the <=2 rows per doc (body/meta fields from doc_terms, anchor_tf
+    from anchor_terms — the union replaced a full (doc_id, term) co-
+    partitioning join: the (term_id, bucket) exchange this group arrived on
+    already co-locates every row of the doc), score with the kernel BM25
+    (bit-exact with the oracle AND the query-side scorer), then delegate to
+    _build_blocks for the salted blocking."""
+    d = pdf["doc_id"].to_numpy(np.int64)
+    tf_in = pdf["tf"].to_numpy(np.int64)
+    # doc asc; within a doc the body row (tf>0) first so its positions win
+    # (rows with tf=0 — meta-only or anchor — carry empty positions anyway)
+    order = np.lexsort((-tf_in, d))
+    pdf = pdf.iloc[order]
+    d = d[order]
+    uniq, first_idx, inv = np.unique(d, return_index=True,
+                                     return_inverse=True)
+
+    def summed(col):
+        return np.bincount(inv, weights=pdf[col].to_numpy(np.float64),
+                           minlength=len(uniq)).astype(np.int64)
+
+    tf = summed("tf")
+    title_tf, anchor_tf = summed("title_tf"), summed("anchor_tf")
+    meta_tf, alt_tf = summed("meta_tf"), summed("alt_tf")
+    doc_len = pdf["doc_len"].to_numpy(np.float64)[first_idx]
+    prior = pdf["prior"].to_numpy(np.float64)[first_idx]
+    term_idf = float(bm25.idf(int(pdf["df"].iloc[0]), n_docs))
+    score = prior * bm25.contrib(tf, doc_len, avgdl, term_idf)
+    wtf = bm25.weighted_tf(tf.astype(np.float64), title_tf, anchor_tf,
+                           meta_tf, alt_tf)
+    wscore = prior * bm25.contrib(wtf, doc_len, avgdl, term_idf)
+    merged = pd.DataFrame({
+        "term_id": pdf["term_id"].iloc[0], "doc_id": uniq, "tf": tf,
+        "title_tf": title_tf, "anchor_tf": anchor_tf, "meta_tf": meta_tf,
+        "alt_tf": alt_tf, "score": score, "wscore": wscore,
+        "positions": pdf["positions"].to_numpy()[first_idx]})
+    return _build_blocks(merged, block_docs)
+
+
 STAGE_TIMINGS: dict[str, float] = {}  # wall seconds of the last run's stages
 
 
@@ -532,48 +573,36 @@ def _finish_index(spark, m: Manifest, base_ref: str, paths: dict,
     def w_postings(out):
         bucket_span = max(1, math.ceil(n_docs / n_buckets))
 
-        def contrib_col(tf_col):
-            return (F.col("idf") * tf_col * F.lit(bm25.K1 + 1.0)
-                    / (tf_col + F.lit(bm25.K1)
-                       * (F.lit(1.0 - bm25.B) + F.lit(bm25.B)
-                          * F.col("doc_len") / F.lit(avgdl))))
-
-        # full outer merge with the anchor stream: docs hit ONLY via anchor
+        # UNION (not join) with the anchor stream: docs hit ONLY via anchor
         # text get tf=0 rows (score 0 under plain BM25 — rank-neutral — but
         # retrievable under field-weighted scoring, the reference's
-        # first-class anchor hits)
-        merged = (doc_terms
-                  .join(anchor_terms, ["doc_id", "term"], "full_outer")
-                  .fillna(0, subset=["tf", "title_tf", "meta_tf", "alt_tf",
-                                     "anchor_tf"])
-                  .withColumn("positions",
-                              F.coalesce(F.col("positions"),
-                                         F.array().cast("array<int>"))))
-        wtf = (F.col("tf")
-               + F.lit(bm25.W_TITLE - 1.0) * F.col("title_tf")
-               + F.lit(bm25.W_ANCHOR) * F.col("anchor_tf")
-               + F.lit(bm25.W_META) * F.col("meta_tf")
-               + F.lit(bm25.W_IMG - 1.0) * F.col("alt_tf"))
-        scored = (
-            merged
+        # first-class anchor hits). A full_outer join here would pay a
+        # (doc_id, term) co-partitioning exchange of the whole doc_terms
+        # stream just to merge <=2 rows per doc — but the (term_id, bucket)
+        # groupBy below already co-locates every row of a doc-term, so the
+        # merge happens inside _build_blocks_scored for free. At 10^12 docs
+        # (where terms/docs dims stop being broadcastable) this halves the
+        # big-stream exchanges of the posting build.
+        body = doc_terms.withColumn("anchor_tf", F.lit(0).cast("int"))
+        anch = anchor_terms.select(
+            "doc_id", "term", F.lit(0).cast("int").alias("tf"),
+            F.array().cast("array<int>").alias("positions"),
+            F.lit(0).cast("int").alias("title_tf"),
+            F.lit(0).cast("int").alias("meta_tf"),
+            F.lit(0).cast("int").alias("alt_tf"), "anchor_tf")
+        pre = (
+            body.unionByName(anch)
             .join(terms.select("term", "term_id", "df"), "term")
             .join(docs.select("doc_id", "doc_len", "prior"), "doc_id")
-            .withColumn("idf", F.log(
-                (F.lit(float(n_docs)) - F.col("df") + 0.5)
-                / (F.col("df") + 0.5) + 1.0))
-            .withColumn("score", F.col("prior") * contrib_col(F.col("tf")))
-            # field-weighted score: its block max is the rank-exact pruning
-            # bound for the field_boost query variant
-            .withColumn("wscore", F.col("prior") * contrib_col(wtf))
             .withColumn("bucket", F.when(
                 F.col("df") > head_df_threshold,
                 (F.col("doc_id") / F.lit(bucket_span)).cast("long"))
                 .otherwise(F.lit(0)))
             .select("term_id", "bucket", "doc_id", "tf", "positions",
                     "title_tf", "anchor_tf", "meta_tf", "alt_tf",
-                    "score", "wscore"))
-        blocks = scored.groupBy("term_id", "bucket").applyInPandas(
-            lambda pdf: _build_blocks(pdf, block_docs),
+                    "df", "doc_len", "prior"))
+        blocks = pre.groupBy("term_id", "bucket").applyInPandas(
+            lambda pdf: _build_blocks_scored(pdf, block_docs, avgdl, n_docs),
             schema=POSTING_BLOCK_SCHEMA)
         # global block_no per term: tiny table (≈ postings/block_docs rows)
         from pyspark.sql import Window as W
