@@ -232,6 +232,12 @@ def main():
             "docs_per_sec_high": round(tput_hi, 1),
             "efficiency": round(tput_hi / (factor * tput_lo), 3),
             "efficiency_best": round(bt_lo / (factor * bt_hi), 3),
+            # per-rep pair ratios: interleaved reps see the same host-noise
+            # window at both levels, so the per-pair ratio is the cleanest
+            # single statistic; report its median
+            "efficiency_pairs": sorted(
+                round(a["sec"] / (factor * b["sec"]), 3)
+                for a, b in zip(runs[lo], runs[hi]))[SCALE_REPS // 2],
             "parallel_stages_low_sec": round(p_lo, 2),
             "parallel_stages_high_sec": round(p_hi, 2),
             "parallel_stages_efficiency": round(
