@@ -69,7 +69,7 @@ import json, sys, time
 from hadoopsearchengine_spark.session import get_spark
 from hadoopsearchengine_spark.plans.build_index import build_index
 cores, pages_path, out_dir, iters = int(sys.argv[1]), sys.argv[2], sys.argv[3], int(sys.argv[4])
-spark = get_spark("bench-build", cores=cores, shuffle_partitions=cores)
+spark = get_spark("bench-build", cores=cores, shuffle_partitions=4 * cores)
 spark.read.parquet(pages_path).count()  # warm session before timing
 t0 = time.time()
 res = build_index(spark, pages_path, out_dir, pagerank_iters=iters)
