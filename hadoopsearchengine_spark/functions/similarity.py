@@ -187,7 +187,7 @@ def cosine_topk_ivf(vectors: DataFrame, queries: DataFrame, dim: int,
                     k: int = 5, n_cells: int = 16, n_probe: int = 4,
                     kmeans_iters: int = 5,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    round_to: int = 6) -> DataFrame:
+                    round_to: int = 6, seed: int | None = None) -> DataFrame:
     """IVF-style approximate top-k: vectors are partitioned into ``n_cells``
     Voronoi cells (deterministic mini-kmeans on a driver-side sample —
     at 100 TB the sample is a tiny top-N collect, the assignment stays
@@ -204,7 +204,12 @@ def cosine_topk_ivf(vectors: DataFrame, queries: DataFrame, dim: int,
     - Lloyd: argmin assignment (ties -> lowest cell), mean per cell (empty
       cell keeps its previous centroid), centroids rounded to 9 decimals
       after every iteration so numpy pairwise summation and SQL aggregate
-      order cannot drift apart."""
+      order cannot drift apart.
+
+    ``seed`` is accepted for backward compatibility and ignored: the r2
+    rewrite replaced seeded RNG init with the deterministic strided init
+    above (the old seeded behavior is not reproducible relationally)."""
+    del seed
     import numpy as np
     import pandas as pd
 

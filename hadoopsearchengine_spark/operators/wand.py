@@ -343,18 +343,24 @@ class QueryEngine:
         """Display text per doc: the FIRST excerpt record, falling back to
         the title when the document is too short to carry excerpts — the
         reference's titles->excerpts retrieval fallback
-        (SearchHitItems.h:449-474). Reads `extracted` with doc_id predicate
-        pushdown; result docs only, never a corpus scan."""
+        (SearchHitItems.h:449-474). `extracted` is url-keyed (r3 layout), so
+        the result ids resolve to urls through `docs` first; both reads are
+        predicate-pushdown point lookups over result docs only, never a
+        corpus scan."""
         import pyarrow.parquet as pq
         if not doc_ids:
             return {}
+        urls = pq.read_table(f"{self.index_dir}/docs",
+                             filters=[("doc_id", "in", list(doc_ids))],
+                             columns=["doc_id", "url"]).to_pylist()
+        by_url = {r["url"]: int(r["doc_id"]) for r in urls}
         tbl = pq.read_table(f"{self.index_dir}/extracted",
-                            filters=[("doc_id", "in", list(doc_ids))],
-                            columns=["doc_id", "title", "excerpts"])
+                            filters=[("url", "in", list(by_url))],
+                            columns=["url", "title", "excerpts"])
         out = {}
         for row in tbl.to_pylist():
             ex = row["excerpts"] or []
-            out[int(row["doc_id"])] = ex[0] if ex else (row["title"] or "")
+            out[by_url[row["url"]]] = ex[0] if ex else (row["title"] or "")
         return out
 
 

@@ -5,11 +5,19 @@ row; the reference runs the equivalent pipeline as strictly serial
 process-spawn barriers, reference DyableCommand/DyableCommand.cpp:641-724 —
 here independent stages run CONCURRENTLY, see _finish_index):
 
+    ── concurrent wave 0 ──
     docs_ids      urls -> dense doc ids (distributed prefix-sum rank)
-    extracted     html -> (text, title, links[], anchors[], img_alts[],
-                  meta_keywords[], excerpts[]) via one Arrow-batched kernel
-                  pass [reference stage DyableParseHTML, SURVEY §2.2 #1;
-                  excerpt records DocumentInstance.h:129-160]
+    extracted     html -> (url-keyed: text, title, links[], anchors[],
+                  img_alts[], meta_keywords[], excerpts[]) via one
+                  MAP-ONLY Arrow-batched kernel pass — doc ids attach
+                  DOWNSTREAM (r3): the r2 shape joined pages ⟗ docs_ids
+                  before extraction, which (a) serialized the id
+                  prefix-sum's 4-job latency ahead of the heaviest stage
+                  and (b) at 100 TB would shuffle the RAW HTML payload
+                  through the join exchange; joining ids onto the much
+                  smaller per-consumer *projections of extracted* instead
+                  moves 5-10x fewer bytes [reference stage DyableParseHTML,
+                  SURVEY §2.2 #1; excerpts DocumentInstance.h:129-160]
     ── concurrent wave 1 ──
     doc_terms     text/title/alt/meta streams -> (doc_id, term, tf,
                   positions[], title_tf, meta_tf, alt_tf) — MAP-ONLY:
@@ -62,11 +70,11 @@ from .manifest import Manifest, fingerprint
 
 DEFAULT_BLOCK_DOCS = 4096
 
-EXTRACTED_SCHEMA = ("doc_id long, url string, text string, title string, "
+EXTRACTED_SCHEMA = ("url string, text string, title string, "
                     "links array<string>, anchors array<string>, "
                     "img_alts array<string>, meta_keywords array<string>, "
                     "excerpts array<string>")
-EXTRACTED_COLS = ["doc_id", "url", "text", "title", "links", "anchors",
+EXTRACTED_COLS = ["url", "text", "title", "links", "anchors",
                   "img_alts", "meta_keywords", "excerpts"]
 DOC_TERMS_SCHEMA = ("doc_id long, term string, tf int, positions array<int>, "
                     "title_tf int, meta_tf int, alt_tf int")
@@ -77,16 +85,17 @@ POSTING_BLOCK_SCHEMA = (
 
 
 def _extract_batches(iterator):
-    """Arrow-batched kernel pass: (doc_id, url, html) -> EXTRACTED_SCHEMA.
-    Carries the full field set the reference indexes: anchors (parallel to
-    links — anchor hits re-key to the TARGET doc downstream,
+    """Arrow-batched kernel pass: (url, html) -> EXTRACTED_SCHEMA (url-keyed;
+    dense doc ids attach downstream so this stage is a pure map over the
+    source scan). Carries the full field set the reference indexes: anchors
+    (parallel to links — anchor hits re-key to the TARGET doc downstream,
     CompileHitList.h:316-319), img alts + meta keywords (hit weight fields,
     Webpage.h:139-176) and excerpt records (DocumentInstance.h:129-160)."""
     for pdf in iterator:
         rows = []
-        for doc_id, url, html in zip(pdf["doc_id"], pdf["url"], pdf["html"]):
+        for url, html in zip(pdf["url"], pdf["html"]):
             r = extract(html, url)
-            rows.append((doc_id, url, r.text, r.title, r.links, r.anchors,
+            rows.append((url, r.text, r.title, r.links, r.anchors,
                          r.img_alts, r.meta_keywords, r.excerpts))
         yield pd.DataFrame(rows, columns=EXTRACTED_COLS)
 
@@ -282,6 +291,43 @@ def _build_blocks_scored(pdf: pd.DataFrame, block_docs: int, avgdl: float,
 
 STAGE_TIMINGS: dict[str, float] = {}  # wall seconds of the last run's stages
 
+# past this corpus size the (url, doc_id) dim stops being broadcastable and
+# id-attachment joins fall back to shuffle joins of column-pruned projections
+_BROADCAST_IDS_MAX = 2_000_000
+
+
+def _in_pool(spark, pool: str, fn):
+    """Run ``fn`` with this thread's Spark jobs assigned to FAIR pool
+    ``pool`` (session.py sets spark.scheduler.mode=FAIR; pools are created
+    on demand with equal weight). Without per-thread pools, FIFO lets one
+    heavy scan occupy every slot while a concurrent latency-bound stage
+    (the links -> PageRank chain) queues behind it."""
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
+    try:
+        return fn()
+    finally:
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+
+
+def _with_doc_ids(extracted: DataFrame, docs_ids: DataFrame,
+                  n_pages: int) -> DataFrame:
+    """Attach dense doc ids to the url-keyed ``extracted`` table.
+
+    The ids dim is explicitly broadcast while small; past
+    _BROADCAST_IDS_MAX the join shuffles only the consumer's column-pruned
+    projection of extracted — never the raw html (the r2 layout joined
+    pages ⟗ ids BEFORE extraction, which at 100 TB would move the full html
+    payload through the exchange). On a real cluster, bucketing both tables
+    by url (Iceberg write distribution) makes this co-located and
+    shuffle-free. Accepts a pre-r3 on-disk layout that already carries
+    doc_id (e.g. an old index directory under resume)."""
+    if "doc_id" in extracted.columns:
+        return extracted
+    ids = docs_ids.select("url", "doc_id")
+    if n_pages and n_pages <= _BROADCAST_IDS_MAX:
+        ids = F.broadcast(ids)
+    return extracted.join(ids, "url")
+
 
 def _stage(m: Manifest, name: str, input_ref: str, out_path: str,
            write_fn, resume: bool) -> str:
@@ -341,24 +387,40 @@ def build_index(spark, pages: DataFrame | str, index_dir: str, *,
              ("docs_ids", "extracted", "doc_terms", "anchor_terms", "terms",
               "links", "pagerank", "docs", "postings", "stats")}
 
-    # -- docs_ids: dense rank over url ------------------------------------
+    # -- wave 0: docs_ids ∥ extracted --------------------------------------
+    # The id prefix-sum is a handful of tiny jobs over the column-pruned url
+    # scan; the html kernel pass is the single heaviest map of the build.
+    # Neither needs the other (extraction is url-keyed, r3), so the id
+    # stage's job-latency floor hides completely under extraction.
     def w_docs_ids(out):
         ids = assign_dense_ids(
             pages.select("url").distinct(), "url", "doc_id", p)
         ids.write.mode("overwrite").parquet(out)
         return n_pages
-    _stage(m, "docs_ids", base_ref, paths["docs_ids"], w_docs_ids, resume)
-    docs_ids = spark.read.parquet(paths["docs_ids"])
 
-    # -- extracted: the single html kernel pass ---------------------------
     def w_extracted(out):
-        df = (pages.join(docs_ids, "url")
-              .select("doc_id", "url", "html")
+        df = (pages.select("url", "html")
               .mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA))
         df.write.mode("overwrite").parquet(out)
         return n_pages
-    _stage(m, "extracted", base_ref, paths["extracted"], w_extracted, resume)
-    extracted = spark.read.parquet(paths["extracted"])
+
+    ids_thunk = lambda: _stage(m, "docs_ids", base_ref, paths["docs_ids"],
+                               w_docs_ids, resume)
+    ext_thunk = lambda: _stage(m, "extracted", base_ref, paths["extracted"],
+                               w_extracted, resume)
+    if concurrent_stages:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [pool.submit(_in_pool, spark, "ids", ids_thunk),
+                      pool.submit(_in_pool, spark, "extract", ext_thunk)]:
+                f.result()
+    else:
+        ids_thunk()
+        ext_thunk()
+
+    docs_ids = spark.read.parquet(paths["docs_ids"])
+    extracted = _with_doc_ids(spark.read.parquet(paths["extracted"]),
+                              docs_ids, n_pages)
 
     # -- doc_terms ---------------------------------------------------------
     def w_doc_terms(out):
@@ -367,7 +429,8 @@ def build_index(spark, pages: DataFrame | str, index_dir: str, *,
         # kernel.tokenize in tests/test_functions.py); per-(doc,term)
         # grouping happens inside the scan task via the vectorized Arrow
         # kernel (_doc_terms_grouped_arrow) because it is doc-local by
-        # construction. Zero shuffle — scan, project, kernel, write.
+        # construction. Zero shuffle — scan, broadcast-id attach (map-side,
+        # _with_doc_ids), project, kernel, write.
         # History: r1 paid 4+ shuffles (per-field aggs + joins); r2.0 fused
         # them into one union+groupBy (one shuffle of ~300 rows/doc), but
         # that aggregation's concurrent sort/spill made doc_terms the one
@@ -429,7 +492,8 @@ def _finish_index(spark, m: Manifest, base_ref: str, paths: dict,
 
     p = spark.sparkContext.defaultParallelism
     docs_ids = spark.read.parquet(paths["docs_ids"])
-    extracted = spark.read.parquet(paths["extracted"])
+    extracted = _with_doc_ids(spark.read.parquet(paths["extracted"]),
+                              docs_ids, n_pages)
 
     # -- anchor_terms: anchor text re-keyed to the TARGET doc ---------------
     # (the reference writes anchor hits against the destination document,
@@ -541,16 +605,23 @@ def _finish_index(spark, m: Manifest, base_ref: str, paths: dict,
         stage_thunk("links", w_links)()
         stage_thunk("pagerank", w_pagerank)()
 
+    def docs_then_stats():
+        stage_thunk("docs", w_docs)()
+        stage_thunk("stats", w_stats)()
+
     if concurrent_stages:
         with ThreadPoolExecutor(max_workers=3) as pool:
-            wave1 = [pool.submit(t) for t in filter(None, (
-                doc_terms_thunk,
-                stage_thunk("anchor_terms", w_anchor_terms),
-                links_then_pagerank))]
+            wave1 = [pool.submit(_in_pool, spark, name, t)
+                     for name, t in (
+                         ("doc_terms", doc_terms_thunk),
+                         ("anchor", stage_thunk("anchor_terms",
+                                                w_anchor_terms)),
+                         ("graph", links_then_pagerank)) if t]
             for f in wave1:
                 f.result()
-            wave2 = [pool.submit(stage_thunk("terms", w_terms)),
-                     pool.submit(stage_thunk("docs", w_docs))]
+            wave2 = [pool.submit(_in_pool, spark, "terms",
+                                 stage_thunk("terms", w_terms)),
+                     pool.submit(_in_pool, spark, "docs", docs_then_stats)]
             for f in wave2:
                 f.result()
     else:
@@ -558,9 +629,8 @@ def _finish_index(spark, m: Manifest, base_ref: str, paths: dict,
                                stage_thunk("anchor_terms", w_anchor_terms),
                                links_then_pagerank,
                                stage_thunk("terms", w_terms),
-                               stage_thunk("docs", w_docs))):
+                               docs_then_stats)):
             t()
-    _stage(m, "stats", base_ref, paths["stats"], w_stats, resume)
 
     doc_terms = spark.read.parquet(paths["doc_terms"])
     anchor_terms = spark.read.parquet(paths["anchor_terms"])

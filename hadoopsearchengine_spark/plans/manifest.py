@@ -60,7 +60,21 @@ class Manifest:
         if not os.path.exists(self.path):
             return []
         import pyarrow.parquet as pq
-        return pq.read_table(self.path).to_pylist()
+        rows = []
+        for name in sorted(os.listdir(self.path)):
+            # skip in-flight temp files (dot-prefixed) and non-parquet noise
+            if name.startswith((".", "_")) or not name.endswith(".parquet"):
+                continue
+            fp = os.path.join(self.path, name)
+            try:
+                rows.extend(pq.read_table(fp).to_pylist())
+            except Exception:
+                # a torn/corrupt record (e.g. kill mid-write before the
+                # rename landed on a non-atomic filesystem) must not poison
+                # resume for every OTHER stage: treat it as absent — the
+                # worst case is one stage re-running.
+                continue
+        return rows
 
     def completed(self, stage: str, input_ref: str) -> bool:
         """True iff `stage` completed with the same input fingerprint AND its
@@ -87,7 +101,15 @@ class Manifest:
         table = pa.Table.from_pylist([row])
         os.makedirs(self.path, exist_ok=True)
         fname = f"part-{stage}-{fingerprint(stage, input_ref)}.parquet"
-        pq.write_table(table, os.path.join(self.path, fname))
+        final = os.path.join(self.path, fname)
+        # write-then-rename: concurrent stages (concurrent_stages=True) may
+        # call completed()/_load while this record is mid-write, and a kill
+        # mid-write must not leave a torn file at the final name. The dot
+        # prefix is skipped by _load and _scan_output; os.rename is atomic
+        # on POSIX.
+        tmp = os.path.join(self.path, f".{fname}.tmp")
+        pq.write_table(table, tmp)
+        os.rename(tmp, final)
 
     def rows(self):
         return self._load()

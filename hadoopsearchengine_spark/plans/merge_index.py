@@ -102,13 +102,14 @@ def merge_indexes(spark, shard_dirs: list[str], index_dir: str, *,
         # the SAME deterministic owner rule as w_doc_terms below, so
         # extracted text/links and doc_terms always come from one shard.
         # (dropDuplicates keeps an arbitrary row; Spark gives no ordering
-        # guarantee across a union.)
+        # guarantee across a union.) Output is url-keyed (r3 layout): the
+        # merged doc ids attach downstream via _with_doc_ids, same as a
+        # fresh build.
         from pyspark.sql import Window
         w = Window.partitionBy("url").orderBy("_shard")
-        (ex.join(docs_ids, "url")
-         .withColumn("_rn", F.row_number().over(w))
+        (ex.withColumn("_rn", F.row_number().over(w))
          .filter(F.col("_rn") == 1)
-         .select("doc_id", "url", "text", "title", "links", "anchors",
+         .select("url", "text", "title", "links", "anchors",
                  "img_alts", "meta_keywords", "excerpts")
          .write.mode("overwrite").parquet(out))
         return n_pages

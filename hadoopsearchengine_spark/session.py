@@ -41,6 +41,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # FAIR job scheduling: the build runs independent stages from
+        # concurrent threads (plans/build_index._finish_index); under the
+        # default FIFO a heavy scan stage occupies every slot and the
+        # latency-bound links -> 20-cycle-PageRank chain queues BEHIND it,
+        # then runs with most slots idle — serialized onto the critical
+        # path. FAIR gives each stage-thread's pool an equal share, so the
+        # low-CPU chain finishes under the heavy scans. Single-threaded
+        # callers are unaffected (one pool).
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -86,6 +95,13 @@ def get_spark_cluster(
     two-cluster-size run; on a real cluster the identical code ships via
     ``spark-submit --master <cluster> --num-executors N`` (cli.py).
     """
+    if executor_mem_mb <= 1536:
+        # 1024 MB goes to JVM overhead headroom below; anything at or under
+        # ~1.5 GB yields a zero/negative or unusably small executor heap and
+        # an opaque JVM launch failure — fail fast with a clear message.
+        raise ValueError(
+            f"executor_mem_mb={executor_mem_mb} too small: need > 1536 MB "
+            "(1024 MB is reserved for JVM overhead)")
     total_cores = n_executors * cores_per_executor
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * total_cores, 8)
@@ -104,6 +120,7 @@ def get_spark_cluster(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.scheduler.mode", "FAIR")  # same rationale as get_spark
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

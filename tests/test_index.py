@@ -203,7 +203,9 @@ def test_doc_terms_kernel_matches_declarative_groupby(spark, index_dir):
     from hadoopsearchengine_spark.plans.build_index import (
         DOC_TERMS_SCHEMA, _doc_terms_grouped_arrow)
 
-    ex = spark.read.parquet(f"{index_dir}/extracted")
+    # extracted is url-keyed (r3); attach doc ids the way the build does
+    ex = spark.read.parquet(f"{index_dir}/extracted").join(
+        spark.read.parquet(f"{index_dir}/docs_ids"), "url")
 
     def chunk_tokens(col):
         return F.flatten(F.transform(col, lambda c: tokens_col(c)))
