@@ -243,6 +243,20 @@ def q_txt_ngram_jaccard(spark, sf):
         load(spark, sf, "documents"), "text", "doc_id", threshold=0.5)
 
 
+NEARDUP_ITERS = 6  # fixed propagation rounds, unrolled in the SQL oracle
+
+
+def q_txt_neardup_groups(spark, sf):
+    """The composite a 100-TB dedup pipeline actually runs (r2 verdict
+    Missing #1): LSH candidate pairs -> transitive closure (connected
+    components via min-label propagation, dedup.neardup_groups) -> one
+    survivor per group, mirroring exact_dedup's keep_id contract."""
+    docs = load(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id")
+    return dedup.neardup_groups(pairs, docs, "doc_id",
+                                iters=NEARDUP_ITERS)
+
+
 SIMHASH_BITS = 60  # md5 mode: any-engine-reproducible -> real SQL oracle
 
 
@@ -847,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_quality": q_txt_quality,
         "txt_minhash_sig": q_txt_minhash_sig,
         "txt_minhash_lsh": q_txt_minhash_lsh,
+        "txt_neardup_groups": q_txt_neardup_groups,
         "txt_ngram_jaccard": q_txt_ngram_jaccard,
         "txt_simhash": q_txt_simhash,
         "txt_simhash_pairs": q_txt_simhash_pairs,
@@ -894,6 +909,23 @@ idx AS (SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts) - 2, 0))) 
 sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
        FROM idx WHERE len(ts) >= 3)
 """
+
+
+def _neardup_label_rounds(n: int) -> str:
+    """Unrolled min-label-propagation CTEs lab1..lab{n} over (edges, lab0) —
+    the graph_pagerank fixed-iteration-as-chained-CTEs pattern."""
+    out = []
+    for i in range(1, n + 1):
+        prev = f"lab{i - 1}"
+        out.append(f"""
+            lab{i} AS (
+              SELECT l.doc_id,
+                     least(l.label, coalesce(m.nbr_min, l.label)) AS label
+              FROM {prev} l LEFT JOIN (
+                   SELECT e.u AS doc_id, min(x.label) AS nbr_min
+                   FROM edges e JOIN {prev} x ON e.v = x.doc_id
+                   GROUP BY 1) m ON l.doc_id = m.doc_id)""")
+    return ",".join(out)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1042,6 +1074,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
             FROM bands a JOIN bands b ON a.band_key = b.band_key
             WHERE a.doc_id < b.doc_id""",
+        "txt_neardup_groups": f"""
+            WITH {_SHINGLES_CTE},
+            sig AS (SELECT doc_id,
+                   {", ".join(f"min(md5('{j}|' || s)) AS mh{j}"
+                              for j in range(dedup.N_MINHASH))}
+                    FROM sh GROUP BY 1),
+            bands AS (
+              {" UNION ALL ".join(
+                  f"SELECT doc_id, md5(mh{2*b} || '|' || mh{2*b+1}) AS band_key FROM sig"
+                  for b in range(dedup.N_BANDS))}),
+            prs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+                    FROM bands a JOIN bands b ON a.band_key = b.band_key
+                    WHERE a.doc_id < b.doc_id),
+            edges AS (SELECT a AS u, b AS v FROM prs
+                      UNION ALL SELECT b AS u, a AS v FROM prs),
+            lab0 AS (SELECT doc_id, doc_id AS label FROM documents),
+            {_neardup_label_rounds(NEARDUP_ITERS)}
+            SELECT doc_id, label AS group_id, doc_id = label AS keep
+            FROM lab{NEARDUP_ITERS}""",
         "txt_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},
             cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),

@@ -62,6 +62,8 @@ HEADLINE = [
     # one-pass batch BM25
     "sim_neardup", "txt_anchor_terms", "txt_excerpts", "txt_keywords_phrases",
     "txt_bm25_batch",
+    # r3 additions
+    "txt_neardup_groups",
 ]
 
 BUILD_SNIPPET = """

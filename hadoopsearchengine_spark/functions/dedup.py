@@ -113,6 +113,52 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
             .select("a", "b", "jaccard"))
 
 
+def neardup_groups(pairs: DataFrame, docs: DataFrame, id_col: str,
+                   iters: int = 8) -> DataFrame:
+    """Resolve candidate near-dup PAIRS into GROUPS with one survivor each —
+    the fuzzy analog of ``exact_dedup``'s keep_id contract.
+
+    ``pairs(a, b)``: undirected candidate edges from any pair generator
+    (minhash_lsh_pairs / simhash_near_pairs / ngram_jaccard_pairs).
+    ``docs``: every doc id (docs in no pair survive as singletons).
+    Returns (doc_id, group_id, keep): group_id = smallest doc id reachable
+    through the pair graph (connected component), keep = survivor flag
+    (doc_id == group_id).
+
+    Connected components via min-label propagation — ``iters`` FIXED rounds
+    of label(v) <- min(label(v), min over neighbors' labels). A fixed round
+    count keeps the op deterministic and SQL-expressible (the DuckDB oracle
+    unrolls the rounds as chained CTEs, the graph_pagerank pattern) and is
+    converged whenever iters >= component diameter; LSH candidate components
+    are near-cliques (every shared band bucket emits all pairs), so real
+    dedup diameters are tiny. Scale: edges are hash-partitioned once and
+    persisted, each round shuffles only (node, label); per-round lineage is
+    truncated with localCheckpoint. If component diameters ever grow (not a
+    dedup shape), the O(log n)-round large-star/small-star alternation
+    [Kiveris et al., Connected Components in MapReduce and Beyond] drops in
+    behind the same contract."""
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    fwd = pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    rev = pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    edges = fwd.unionByName(rev).repartition("v").persist()
+    edges.count()
+    labels = ids.withColumn("label", F.col("doc_id"))
+    for _ in range(iters):
+        nbr = (edges
+               .join(labels.select(F.col("doc_id").alias("v"), "label"), "v")
+               .groupBy("u").agg(F.min("label").alias("nbr_min"))
+               .withColumnRenamed("u", "doc_id"))
+        labels = (labels.join(nbr, "doc_id", "left")
+                  .select("doc_id",
+                          F.least(F.col("label"),
+                                  F.coalesce("nbr_min", F.col("label")))
+                          .alias("label"))
+                  .localCheckpoint(eager=True))
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("group_id"),
+                         (F.col("doc_id") == F.col("label")).alias("keep"))
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str,
             bits: int = 64, hash_fn: str = "xxhash64") -> DataFrame:
     """SimHash over tokens: bit b of the signature is the sign of the sum

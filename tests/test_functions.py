@@ -83,6 +83,30 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert (3, 4) not in pairs        # unrelated docs don't
 
 
+def test_neardup_groups_transitive_chain(spark):
+    """A~B and B~C (NO A~C edge) must collapse into ONE group with the
+    min-id survivor; untouched docs stay singletons; a long chain converges
+    within the fixed round budget."""
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(10, 11),            # simple pair
+         (2, 5), (5, 7),      # transitive chain 2-5-7 without (2,7)
+         (1, 3), (3, 4), (4, 6), (6, 8), (8, 9)],  # 5-hop chain from 1
+        "a long, b long")
+    rows = {r["doc_id"]: (r["group_id"], r["keep"]) for r in
+            dedup.neardup_groups(pairs, docs, "doc_id", iters=8).collect()}
+    assert rows[2] == (2, True) and rows[5] == (2, False) \
+        and rows[7] == (2, False)
+    assert rows[10] == (10, True) and rows[11] == (10, False)
+    for d in (3, 4, 6, 8, 9):
+        assert rows[d] == (1, False), d
+    assert rows[1] == (1, True)
+    assert rows[0] == (0, True)  # singleton survives
+    # survivor set is exactly one per component
+    keeps = [d for d, (_g, k) in rows.items() if k]
+    assert sorted(keeps) == [0, 1, 2, 10]
+
+
 def test_ngram_jaccard_scores(spark):
     rows = {(r["a"], r["b"]): r["jaccard"] for r in
             dedup.ngram_jaccard_pairs(_dup_docs(spark), "text", "doc_id",
