@@ -29,34 +29,36 @@ def build_link_graph(edges: DataFrame, max_links_per_src: int = 10,
     """edges(src, dst, affiliated bool) -> links(src, dst, weight) with the
     oracle's contract: pool split per src, dedup-sum, top-10 by (weight desc,
     dst asc), per-src normalize (reference CreateBinaryLinks.cpp:28-51 +
-    CreateClusteredLinkSet.cpp:82-186)."""
+    CreateClusteredLinkSet.cpp:82-186).
+
+    ONE exchange total (r3): every step is keyed by ``src``, so the per-src
+    pool counts, the (src, dst) dedup-sum, the top-k rank and the normalizer
+    are all windows/aggregations over the SAME hash(src) partitioning —
+    Catalyst inserts a single Exchange and reuses it (groupBy(src, dst) is
+    clustering-compatible with hash(src)). The r2 shape paid ~4 exchanges
+    (count-agg + join-back + dedup-agg + norm-join); on the build's critical
+    path that was mostly scheduling latency, and at 10^12 edges it is 4
+    full-stream shuffles against 1."""
     from pyspark.sql import Window as W
 
-    per_src = edges.groupBy("src").agg(
-        F.sum(F.when(F.col("affiliated"), 1).otherwise(0)).alias("n_aff"),
-        F.sum(F.when(F.col("affiliated"), 0).otherwise(1)).alias("n_cross"),
-    )
-    weighted = (
-        edges.join(per_src, "src")
-        .withColumn(
-            "w",
-            F.when(
-                F.col("affiliated"),
-                F.when(F.col("n_cross") > 0, F.lit(affiliated_pool))
-                 .otherwise(F.lit(1.0)) / F.col("n_aff"),
-            ).otherwise(
-                F.when(F.col("n_aff") > 0, F.lit(cross_pool))
-                 .otherwise(F.lit(1.0)) / F.col("n_cross")
-            ),
-        )
-        .groupBy("src", "dst").agg(F.sum("w").alias("w"))
-    )
+    win_src = W.partitionBy("src")
+    n_aff = F.sum(F.when(F.col("affiliated"), 1).otherwise(0)).over(win_src)
+    n_cross = F.sum(F.when(F.col("affiliated"), 0).otherwise(1)).over(win_src)
+    w = F.when(
+        F.col("affiliated"),
+        F.when(n_cross > 0, F.lit(affiliated_pool))
+         .otherwise(F.lit(1.0)) / n_aff,
+    ).otherwise(
+        F.when(n_aff > 0, F.lit(cross_pool))
+         .otherwise(F.lit(1.0)) / n_cross)
+    weighted = (edges.withColumn("w", w)
+                .groupBy("src", "dst").agg(F.sum("w").alias("w")))
     win = W.partitionBy("src").orderBy(F.col("w").desc(), F.col("dst").asc())
     top = (weighted.withColumn("_rk", F.row_number().over(win))
            .filter(F.col("_rk") <= max_links_per_src).drop("_rk"))
-    norm = top.groupBy("src").agg(F.sum("w").alias("_tot"))
-    return (top.join(norm, "src")
-            .select("src", "dst", (F.col("w") / F.col("_tot")).alias("weight")))
+    return top.select(
+        "src", "dst",
+        (F.col("w") / F.sum("w").over(win_src)).alias("weight"))
 
 
 def pagerank(links: DataFrame, n_docs: int, doc_ids: DataFrame,
@@ -97,9 +99,14 @@ def pagerank(links: DataFrame, n_docs: int, doc_ids: DataFrame,
     links_p = links.repartition(graph_part, "src").persist()
     links_p.count()  # materialize once; reused every cycle
 
-    doc_ids = doc_ids.repartition(graph_part, "doc_id").persist()
+    # the dangling flag rides ON the rank rows (one static left-anti join
+    # BEFORE the loop) so the per-cycle dangling-mass aggregate is a filter
+    # + 1-row agg over the checkpointed ranks — no per-cycle join/sort
     src_set = links_p.select(F.col("src").alias("doc_id")).distinct()
-    dangling_ids = doc_ids.join(src_set, "doc_id", "left_anti").persist()
+    doc_ids = (doc_ids.repartition(graph_part, "doc_id")
+               .join(src_set.withColumn("_nd", F.lit(True)), "doc_id", "left")
+               .select("doc_id", F.coalesce("_nd", F.lit(False)).alias("_nd"))
+               .persist())
 
     ranks = doc_ids.withColumn("rank", F.lit(1.0 / n_docs))
     d = damping
@@ -109,10 +116,11 @@ def pagerank(links: DataFrame, n_docs: int, doc_ids: DataFrame,
         # 1-row aggregate cross-joined in) — ONE action per cycle instead of
         # a separate collect, halving per-cycle scheduler latency
         dangling_df = (
-            dangling_ids.join(ranks, "doc_id")
+            ranks.filter(~F.col("_nd"))
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")))
         contrib = (
-            links_p.join(ranks.withColumnRenamed("doc_id", "src"), "src")
+            links_p.join(ranks.select(F.col("doc_id").alias("src"), "rank"),
+                         "src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("weight")).alias("contrib"))
             .withColumnRenamed("dst", "doc_id"))
@@ -120,7 +128,7 @@ def pagerank(links: DataFrame, n_docs: int, doc_ids: DataFrame,
             doc_ids.join(contrib, "doc_id", "left")
             .crossJoin(F.broadcast(dangling_df))
             .select(
-                "doc_id",
+                "doc_id", "_nd",
                 (F.lit((1.0 - d) / n_docs)
                  + F.lit(d) * (F.coalesce(F.col("contrib"), F.lit(0.0))
                                + F.col("_dang") / F.lit(float(n_docs))))
@@ -138,10 +146,9 @@ def pagerank(links: DataFrame, n_docs: int, doc_ids: DataFrame,
             ranks = ranks.persist()
             cached.append(ranks)
     links_p.unpersist()
-    dangling_ids.unpersist()
     doc_ids.unpersist()
     # the final ranks are materialized (checkpointed), so restoring the
     # session confs here cannot affect them
     spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-    return ranks.withColumnRenamed("rank", "pagerank")
+    return ranks.select("doc_id", F.col("rank").alias("pagerank"))

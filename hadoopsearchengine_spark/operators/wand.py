@@ -33,6 +33,32 @@ from ..kernel.codec import decode_deltas, decode_tfs
 from ..kernel.tokenize import tokenize
 
 
+class _LRU:
+    """Minimal bounded cache with dict-like get/set (the decode caches were
+    unbounded dicts in r2 — fine while the block table is pinned, but a cap
+    is required before the preload=False tier reuses them, r2 verdict)."""
+
+    def __init__(self, cap: int):
+        import collections
+        self.cap = int(cap)
+        self._d: "collections.OrderedDict" = collections.OrderedDict()
+
+    def get(self, key):
+        got = self._d.get(key)
+        if got is not None:
+            self._d.move_to_end(key)
+        return got
+
+    def __setitem__(self, key, value):
+        self._d[key] = value
+        self._d.move_to_end(key)
+        if len(self._d) > self.cap:
+            self._d.popitem(last=False)
+
+    def __len__(self):
+        return len(self._d)
+
+
 class QueryEngine:
     """Warm local query path over a built index directory.
 
@@ -44,12 +70,17 @@ class QueryEngine:
     (for indexes larger than RAM; at web scale this tier is sharded by
     term_id % N across query servers, each shard preloading its slice)."""
 
-    _BLOCK_COLS = ["term_id", "block_no", "min_doc", "max_doc", "n_docs",
-                   "max_score", "max_wscore", "doc_gaps", "tfs", "positions",
-                   "title_tfs", "anchor_tfs", "meta_tfs", "alt_tfs"]
+    # plain-BM25 needs only the core columns; the field-tf streams, the
+    # field-weighted block max and the position payloads load LAZILY on the
+    # first query that uses them (r3: the r2 engine preloaded all 14 columns
+    # unconditionally, and plain-BM25 p95 paid for streams it never read)
+    _CORE_COLS = ["term_id", "block_no", "min_doc", "max_doc", "n_docs",
+                  "max_score", "doc_gaps", "tfs"]
+    _EXTRA_COLS = ["max_wscore", "positions", "title_tfs", "anchor_tfs",
+                   "meta_tfs", "alt_tfs"]
 
     def __init__(self, index_dir: str, preload: bool = True,
-                 result_cache: int = 256):
+                 result_cache: int = 256, decode_cache: int = 16384):
         import collections
         import pyarrow.parquet as pq
         self.index_dir = index_dir
@@ -75,45 +106,73 @@ class QueryEngine:
         self.text_fp[d["doc_id"].to_numpy()] = d["text_fp"].to_numpy()
         s = pq.read_table(f"{index_dir}/stats").to_pylist()[0]
         self.n_docs, self.avgdl = int(s["n_docs"]), float(s["avgdl"])
-        self._blocks = None
+        # columnar block store: dict[col -> numpy array] sorted by
+        # (term_id, block_no) — a query touches column arrays by row index,
+        # never a pandas row object, so per-query cost does not scale with
+        # how many payload streams the index carries
+        self._blocks: dict[str, np.ndarray] | None = None
+        self._extra_loaded = False
         # engine-level decode caches (preload mode only): decoded gap/tf and
         # position arrays survive across queries, so repeated terms skip
-        # payload decode entirely. Bounded by the block count (payloads are
-        # pinned anyway; decoded arrays are ~2-3x the payload bytes).
-        self._dec_plain: dict[int, tuple] = {}
-        self._dec_title: dict[int, tuple] = {}
-        self._dec_fields: dict[int, tuple] = {}
-        self._dec_positions: dict[int, tuple] = {}
+        # payload decode entirely. LRU-capped (decoded arrays are ~2-3x the
+        # payload bytes; cap 0 disables caching).
+        self._dec_plain = _LRU(decode_cache)
+        self._dec_title = _LRU(decode_cache)
+        self._dec_fields = _LRU(decode_cache)
+        self._dec_positions = _LRU(decode_cache)
         if preload:
-            tbl = pq.read_table(f"{self.index_dir}/postings",
-                                columns=self._BLOCK_COLS).to_pandas()
-            tbl.sort_values(["term_id", "block_no"], kind="mergesort",
-                            inplace=True, ignore_index=True)
-            self._blocks = tbl
-            tids = tbl["term_id"].to_numpy()
+            self._blocks = self._read_block_cols(self._CORE_COLS)
+            tids = self._blocks["term_id"]
             starts = np.flatnonzero(np.diff(tids, prepend=-1))
             ends = np.append(starts[1:], len(tids))
             self._ranges = {int(tids[s]): (int(s), int(e))
                             for s, e in zip(starts, ends)}
 
-    def _load_blocks(self, term_ids: list[int]):
-        if self._blocks is not None:
-            import pandas as pd
-            parts = [self._blocks.iloc[s:e]
-                     for s, e in (self._ranges[t] for t in term_ids
-                                  if t in self._ranges)]
-            if not parts:
-                return self._blocks.iloc[0:0]
-            out = pd.concat(parts, ignore_index=False)
-            # keep the global row index as the cross-query cache key
-            out = out.reset_index(names="_gidx")
-            return out
+    def _read_block_cols(self, cols: list[str]) -> dict:
+        """Read a column subset of the postings table into numpy arrays in
+        the canonical (term_id, block_no) order. (term_id, block_no) is a
+        unique key, so two reads with different column subsets align
+        row-for-row."""
         import pyarrow.parquet as pq
-        tbl = pq.read_table(
+        want = ["term_id", "block_no"] + [
+            c for c in cols if c not in ("term_id", "block_no")]
+        df = pq.read_table(f"{self.index_dir}/postings",
+                           columns=want).to_pandas()
+        df.sort_values(["term_id", "block_no"], kind="mergesort",
+                       inplace=True, ignore_index=True)
+        return {c: df[c].to_numpy() for c in df.columns}
+
+    def _ensure_extra(self):
+        """Lazily attach the field/position columns to the preloaded store
+        on the first field_boost/title_boost/proximity query."""
+        if self._blocks is None or self._extra_loaded:
+            return
+        extra = self._read_block_cols(self._EXTRA_COLS)
+        for c in self._EXTRA_COLS:
+            self._blocks[c] = extra[c]
+        self._extra_loaded = True
+
+    def _load_blocks(self, term_ids: list[int], need_extra: bool):
+        """-> (cols, rows, gkeys): ``cols`` is a dict[col -> np.ndarray],
+        ``rows`` indexes the query's blocks within it, ``gkeys`` are stable
+        cross-query cache keys (None in the per-query read tier)."""
+        if self._blocks is not None:
+            if need_extra:
+                self._ensure_extra()
+            spans = [np.arange(s, e) for s, e in
+                     (self._ranges[t] for t in term_ids
+                      if t in self._ranges)]
+            rows = (np.concatenate(spans) if spans
+                    else np.empty(0, dtype=np.int64))
+            return self._blocks, rows, rows
+        import pyarrow.parquet as pq
+        cols = self._CORE_COLS + (self._EXTRA_COLS if need_extra else [])
+        df = pq.read_table(
             f"{self.index_dir}/postings",
             filters=[("term_id", "in", term_ids)],
-            columns=self._BLOCK_COLS)
-        return tbl.to_pandas()
+            columns=cols).to_pandas()
+        V = {c: df[c].to_numpy() for c in df.columns}
+        return V, np.arange(len(df), dtype=np.int64), None
 
     def search(self, query: str, k: int = 10, prune: bool = True,
                proximity: bool = False, title_boost: bool = False,
@@ -181,22 +240,20 @@ class QueryEngine:
         idfs = {int(self.term_id[t]): float(bm25.idf(int(self.term_df[t]),
                                                      self.n_docs))
                 for t in qterms if t in self.term_id}
-        blocks = self._load_blocks(tids)
-        if len(blocks) == 0:
+        need_extra = field_boost or title_boost or proximity
+        V, rows, gkeys = self._load_blocks(tids, need_extra)
+        if rows.size == 0:
             return store([])
 
         # block-aligned candidate ranges: boundaries from all blocks' bounds
-        bounds = np.unique(np.concatenate(
-            [blocks["min_doc"].to_numpy(),
-             blocks["max_doc"].to_numpy() + 1]))
+        blk_min = V["min_doc"][rows]
+        blk_max = V["max_doc"][rows]
+        bounds = np.unique(np.concatenate([blk_min, blk_max + 1]))
         ranges = list(zip(bounds[:-1], bounds[1:]))  # [lo, hi)
 
-        # per range, which blocks overlap + their max_score sum
-        blk_min = blocks["min_doc"].to_numpy()
-        blk_max = blocks["max_doc"].to_numpy()
         # field-weighted queries prune against the weighted block max —
         # body max_score does NOT bound anchor-/meta-only docs (tf=0 rows)
-        blk_ms = blocks["max_wscore" if field_boost else "max_score"].to_numpy()
+        blk_ms = V["max_wscore" if field_boost else "max_score"][rows]
 
         heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
         theta = -np.inf
@@ -212,11 +269,10 @@ class QueryEngine:
             range_ubs.append((float(blk_ms[mask].sum()), int(lo), int(hi)))
         range_ubs.sort(key=lambda x: -x[0])
 
-        term_ids_arr = blocks["term_id"].to_numpy()
+        term_ids_arr = V["term_id"][rows]
         # cross-query caches when preloaded (keyed by global row id); private
         # per-call dicts otherwise
-        has_gidx = "_gidx" in blocks.columns
-        gidx = blocks["_gidx"].to_numpy() if has_gidx else None
+        has_gidx = gkeys is not None
         dec_cache = ((self._dec_fields if field_boost
                       else self._dec_title if title_boost
                       else self._dec_plain) if has_gidx else {})
@@ -228,21 +284,21 @@ class QueryEngine:
 
         def ensure_decoded(bi: int):
             """-> (doc_ids, scoring tfs, raw body tfs) for block bi."""
-            key = int(gidx[bi]) if has_gidx else bi
+            key = int(gkeys[bi]) if has_gidx else bi
             got = dec_cache.get(key)
             if got is None:
-                row = blocks.iloc[bi]
-                ids = decode_deltas(row["doc_gaps"]).astype(np.int64)
-                raw = decode_tfs(row["tfs"]).astype(np.float64)
+                g = rows[bi]
+                ids = decode_deltas(V["doc_gaps"][g]).astype(np.int64)
+                raw = decode_tfs(V["tfs"][g]).astype(np.float64)
                 if field_boost:
                     tfs = bm25.weighted_tf(
                         raw,
-                        decode_tfs(row["title_tfs"]).astype(np.float64),
-                        decode_tfs(row["anchor_tfs"]).astype(np.float64),
-                        decode_tfs(row["meta_tfs"]).astype(np.float64),
-                        decode_tfs(row["alt_tfs"]).astype(np.float64))
+                        decode_tfs(V["title_tfs"][g]).astype(np.float64),
+                        decode_tfs(V["anchor_tfs"][g]).astype(np.float64),
+                        decode_tfs(V["meta_tfs"][g]).astype(np.float64),
+                        decode_tfs(V["alt_tfs"][g]).astype(np.float64))
                 elif title_boost:
-                    ttfs = decode_tfs(row["title_tfs"]).astype(np.float64)
+                    ttfs = decode_tfs(V["title_tfs"][g]).astype(np.float64)
                     tfs = raw + (bm25.W_TITLE - 1.0) * ttfs
                 else:
                     tfs = raw
@@ -250,14 +306,14 @@ class QueryEngine:
             return got
 
         def ensure_positions(bi: int):
-            key = int(gidx[bi]) if has_gidx else bi
+            key = int(gkeys[bi]) if has_gidx else bi
             got = pos_cache.get(key)
             if got is None:
                 from ..kernel.codec import decode_positions
+                g = rows[bi]
                 # raw tf counts (NOT the title-weighted tfs) frame positions
-                raw_tfs = decode_tfs(
-                    blocks.iloc[bi]["tfs"]).astype(np.int64)
-                pos = decode_positions(blocks.iloc[bi]["positions"], raw_tfs)
+                raw_tfs = decode_tfs(V["tfs"][g]).astype(np.int64)
+                pos = decode_positions(V["positions"][g], raw_tfs)
                 offsets = np.concatenate(
                     ([0], np.cumsum(raw_tfs))).astype(np.int64)
                 got = pos_cache[key] = (pos, offsets)
@@ -277,7 +333,7 @@ class QueryEngine:
             return out
 
         self.blocks_scored = 0  # instrumentation for prune-rate tests
-        self.blocks_total = int(len(blocks))
+        self.blocks_total = int(rows.size)
         for ub, lo, hi in range_ubs:
             if prune and len(heap) >= k and ub * boost_cap < theta - EPS:
                 continue  # no doc in this range can beat/tie the k-th score

@@ -411,7 +411,11 @@ def build_index(spark, pages: DataFrame | str, index_dir: str, *,
     if concurrent_stages:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=2) as pool:
-            for f in [pool.submit(_in_pool, spark, "ids", ids_thunk),
+            # ids go in the high-weight "latency" pool (session._POOLS_XML):
+            # its handful of tiny prefix-sum jobs grab freed slots ahead of
+            # the extraction scan's multi-second tasks, so the stage really
+            # hides instead of stretching to the scan's wall
+            for f in [pool.submit(_in_pool, spark, "latency", ids_thunk),
                       pool.submit(_in_pool, spark, "extract", ext_thunk)]:
                 f.result()
     else:
@@ -611,12 +615,15 @@ def _finish_index(spark, m: Manifest, base_ref: str, paths: dict,
 
     if concurrent_stages:
         with ThreadPoolExecutor(max_workers=3) as pool:
+            # the links -> 20-cycle-PageRank chain is scheduling-latency
+            # bound (many tiny stages), so it runs in the high-weight
+            # "latency" pool and its ladder hides under doc_terms' scan
             wave1 = [pool.submit(_in_pool, spark, name, t)
                      for name, t in (
                          ("doc_terms", doc_terms_thunk),
                          ("anchor", stage_thunk("anchor_terms",
                                                 w_anchor_terms)),
-                         ("graph", links_then_pagerank)) if t]
+                         ("latency", links_then_pagerank)) if t]
             for f in wave1:
                 f.result()
             wave2 = [pool.submit(_in_pool, spark, "terms",

@@ -11,8 +11,37 @@ skew-join splitting) replaces hand-tuned fan-out constants.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
+
+# FAIR-scheduler pool definitions. The "latency" pool is for stages whose
+# wall time is job/stage-scheduling latency, not CPU (the dense-id
+# prefix-sum's tiny jobs; the links -> 20-cycle-PageRank ladder): a high
+# weight means every freed task slot goes to this pool first, so its small
+# tasks never queue behind a heavy scan's multi-second tasks. Spark has no
+# preemption, so weight (not minShare alone) is what bounds the queueing
+# delay to ~one heavy-task duration. All other pools are created on demand
+# with weight 1 and share slots equally.
+_POOLS_XML = """<?xml version="1.0"?>
+<allocations>
+  <pool name="latency">
+    <schedulingMode>FIFO</schedulingMode>
+    <weight>100</weight>
+    <minShare>2</minShare>
+  </pool>
+</allocations>
+"""
+
+
+def _pools_file() -> str:
+    path = os.path.join(tempfile.gettempdir(), "sfe_fair_pools.xml")
+    try:
+        with open(path, "w") as f:
+            f.write(_POOLS_XML)
+    except OSError:
+        return ""
+    return path
 
 
 def get_spark(
@@ -48,7 +77,9 @@ def get_spark(
         # then runs with most slots idle — serialized onto the critical
         # path. FAIR gives each stage-thread's pool an equal share, so the
         # low-CPU chain finishes under the heavy scans. Single-threaded
-        # callers are unaffected (one pool).
+        # callers are unaffected (one pool). The "latency" pool (see
+        # _POOLS_XML) is high-weight so scheduling-latency-bound stages get
+        # freed slots first.
         .config("spark.scheduler.mode", "FAIR")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
@@ -67,6 +98,9 @@ def get_spark(
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
                 str(8 * 1024 * 1024))
     )
+    pools = _pools_file()
+    if pools:
+        builder = builder.config("spark.scheduler.allocation.file", pools)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
@@ -131,6 +165,9 @@ def get_spark_cluster(
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
                 str(8 * 1024 * 1024))
     )
+    pools = _pools_file()
+    if pools:
+        builder = builder.config("spark.scheduler.allocation.file", pools)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

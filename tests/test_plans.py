@@ -69,6 +69,17 @@ def test_no_cartesian_in_pair_ops(spark):
     assert "Join" not in _plan(qs["txt_cooccur"](spark, SF))
 
 
+def test_winnow_fp_is_map_only(spark):
+    """Winnowing is doc-local; the r3 plan must carry NO exchange (the r2
+    shape shuffled one md5 row per corpus character through a doc_id
+    window + distinct) and no Python eval."""
+    import __spark_entry__ as E
+    plan = _plan(E.queries()["txt_winnow_fp"](spark, SF))
+    for marker in ("Exchange", "Window", "BatchEvalPython", "ArrowEvalPython",
+                   "MapInPandas"):
+        assert marker not in plan, (marker, plan[:2000])
+
+
 def test_wholestage_codegen_present(spark):
     import __spark_entry__ as E
     df = E.queries()["rel_tpch_q1"](spark, SF)

@@ -65,6 +65,25 @@ def test_result_cache(index_dir):
     assert eng.search("egypt pyramids", k=10)[-1] != ("junk", 0.0)
 
 
+def test_decode_cache_capped_and_lazy_extra(index_dir):
+    """Decode caches respect their LRU cap with results unchanged; the
+    field/position columns load lazily — a plain-BM25 engine never holds
+    them (r3: column-pruned preload)."""
+    full = QueryEngine(index_dir, result_cache=0)
+    capped = QueryEngine(index_dir, result_cache=0, decode_cache=4)
+    assert not full._extra_loaded
+    for q in ("cold war", "egypt pyramids", "global warming"):
+        assert capped.search(q, k=10) == full.search(q, k=10)
+    assert not full._extra_loaded
+    assert "positions" not in full._blocks
+    assert len(capped._dec_plain) <= 4
+    # first proximity query attaches the extra columns, ranks unchanged
+    a = full.search("cold war", k=10, proximity=True)
+    assert full._extra_loaded and "positions" in full._blocks
+    assert a == QueryEngine(index_dir).search("cold war", k=10,
+                                              proximity=True)
+
+
 def test_unknown_terms(engine):
     assert engine.search("zzzznotaword", k=10) == []
     assert engine.search("", k=10) == []
