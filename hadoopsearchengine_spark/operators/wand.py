@@ -94,6 +94,8 @@ class QueryEngine:
         t = pq.read_table(f"{index_dir}/terms").to_pandas()
         self.term_id = dict(zip(t["term"], t["term_id"]))
         self.term_df = dict(zip(t["term"], t["df"]))
+        self._df_by_id = dict(zip(t["term_id"], t["df"]))
+        self._assoc = None  # term_id -> [(assoc_term_id, strength)], lazy
         d = pq.read_table(
             f"{index_dir}/docs",
             columns=["doc_id", "doc_len", "prior", "text_fp"]).to_pandas()
@@ -174,10 +176,51 @@ class QueryEngine:
         V = {c: df[c].to_numpy() for c in df.columns}
         return V, np.arange(len(df), dtype=np.int64), None
 
+    def _load_assoc(self) -> dict:
+        if self._assoc is None:
+            import os
+            import pyarrow.parquet as pq
+            path = f"{self.index_dir}/associations"
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    "expand>0 needs the associations table — run "
+                    "plans.associations.build_associations(spark, index_dir)"
+                    " once after the build")
+            a = pq.read_table(path).to_pandas()
+            a.sort_values(["term_id", "strength", "assoc_term_id"],
+                          ascending=[True, False, True], inplace=True,
+                          kind="mergesort")
+            assoc: dict[int, list] = {}
+            for tid, atid, s in zip(a["term_id"], a["assoc_term_id"],
+                                    a["strength"]):
+                assoc.setdefault(int(tid), []).append((int(atid), float(s)))
+            self._assoc = assoc
+        return self._assoc
+
+    def _expanded_terms(self, orig_tids: list[int], n: int,
+                        damp: float) -> dict[int, float]:
+        """Top-``n`` associated terms per original term (skipping terms
+        already in the query), weight = damp * co-occurrence strength; a
+        term reached from several query terms keeps its max weight."""
+        assoc = self._load_assoc()
+        orig = set(orig_tids)
+        out: dict[int, float] = {}
+        for t in sorted(orig):
+            kept = 0
+            for atid, s in assoc.get(t, ()):
+                if atid in orig:
+                    continue
+                if kept >= n:
+                    break
+                out[atid] = max(out.get(atid, 0.0), damp * s)
+                kept += 1
+        return out
+
     def search(self, query: str, k: int = 10, prune: bool = True,
                proximity: bool = False, title_boost: bool = False,
                field_boost: bool = False, spam_cap: bool = False,
-               dedup: bool = False) -> list[tuple[int, float]]:
+               dedup: bool = False, expand: int = 0,
+               expand_damp: float = 0.3) -> list[tuple[int, float]]:
         """-> [(doc_id, score)] score desc, doc_id asc; len <= k.
 
         proximity=True applies the opt-in min-span boost
@@ -198,11 +241,20 @@ class QueryEngine:
         spam_cap=True zeroes documents where any matched term's body tf
         exceeds SPAM_TF_CAP (keyword stuffing, HitScore.h:250-253).
         dedup=True removes checksum-identical lower-ranked documents from
-        the ranked list (CompileRankedList.h:206-242)."""
+        the ranked list (CompileRankedList.h:206-242).
+
+        expand=N adds each query term's top-N associated terms (the
+        reference's query-time association/synonym expansion,
+        TextStringServer.h:118-192) as extra scoring terms with weight
+        ``expand_damp * strength`` — damped so original terms dominate;
+        expand=0 (default) is byte-identical to no expansion. Needs the
+        ``associations`` table (plans.associations.build_associations).
+        Pruning stays rank-exact: each block's upper bound carries its
+        term's weight."""
         if title_boost and field_boost:
             raise ValueError("field_boost already includes the title field")
         ck = (query, k, prune, proximity, title_boost, field_boost,
-              spam_cap, dedup)
+              spam_cap, dedup, expand, expand_damp)
         if self._res_cache_size:
             got = self._res_cache.get(ck)
             if got is not None:
@@ -221,7 +273,8 @@ class QueryEngine:
             # over-fetch, cut checksum-dups keeping the best-ranked, truncate
             inner = self.search(query, k=4 * k + 8, prune=prune,
                                 proximity=proximity, title_boost=title_boost,
-                                field_boost=field_boost, spam_cap=spam_cap)
+                                field_boost=field_boost, spam_cap=spam_cap,
+                                expand=expand, expand_damp=expand_damp)
             seen: set[int] = set()
             out = []
             for did, sc in inner:
@@ -240,6 +293,14 @@ class QueryEngine:
         idfs = {int(self.term_id[t]): float(bm25.idf(int(self.term_df[t]),
                                                      self.n_docs))
                 for t in qterms if t in self.term_id}
+        tweight = {t: 1.0 for t in tids}
+        if expand > 0:
+            for atid, w in sorted(
+                    self._expanded_terms(tids, expand, expand_damp).items()):
+                tweight[atid] = w
+                idfs[atid] = float(bm25.idf(
+                    int(self._df_by_id.get(atid, 0)), self.n_docs))
+                tids.append(atid)
         need_extra = field_boost or title_boost or proximity
         V, rows, gkeys = self._load_blocks(tids, need_extra)
         if rows.size == 0:
@@ -254,6 +315,11 @@ class QueryEngine:
         # field-weighted queries prune against the weighted block max —
         # body max_score does NOT bound anchor-/meta-only docs (tf=0 rows)
         blk_ms = V["max_wscore" if field_boost else "max_score"][rows]
+        if expand > 0:
+            # expanded terms contribute damped scores; their block bounds
+            # carry the same weight, so pruning stays rank-exact
+            blk_ms = blk_ms * np.array(
+                [tweight[int(t)] for t in V["term_id"][rows]])
 
         heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
         theta = -np.inf
@@ -356,9 +422,10 @@ class QueryEngine:
                         dids, btfs, braw = dids[nz], btfs[nz], braw[nz]
                 all_d.append(dids)
                 all_r.append(braw)
-                all_c.append(bm25.contrib(
-                    btfs, self.doc_len[dids], self.avgdl,
-                    idfs[int(term_ids_arr[bi])]))
+                tid = int(term_ids_arr[bi])
+                c = bm25.contrib(btfs, self.doc_len[dids], self.avgdl,
+                                 idfs[tid])
+                all_c.append(c if tweight[tid] == 1.0 else c * tweight[tid])
             if not all_d:
                 continue
             self.blocks_scored += len(all_d)

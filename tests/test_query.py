@@ -84,6 +84,67 @@ def test_decode_cache_capped_and_lazy_extra(index_dir):
                                               proximity=True)
 
 
+def test_query_expansion_matches_replica(spark, index_dir, oracle_index):
+    """Opt-in association expansion (reference TextStringServer.h:118-192):
+    expand=0 is unchanged; expand=2 matches an independent brute-force
+    scorer over the oracle postings using the same association table;
+    pruning stays rank-exact under the damped weights."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from hadoopsearchengine_spark.kernel import bm25
+    from hadoopsearchengine_spark.kernel.tokenize import tokenize
+    from hadoopsearchengine_spark.plans.associations import \
+        build_associations
+
+    build_associations(spark, index_dir)
+    eng = QueryEngine(index_dir, result_cache=0)
+
+    a = (pq.read_table(f"{index_dir}/associations").to_pandas()
+         .sort_values(["term_id", "strength", "assoc_term_id"],
+                      ascending=[True, False, True], kind="mergesort"))
+    assoc: dict[int, list] = {}
+    for r in a.itertuples():
+        assoc.setdefault(int(r.term_id), []).append(
+            (int(r.assoc_term_id), float(r.strength)))
+    O = oracle_index
+    id2term = {i: t for t, i in O.term_id.items()}
+
+    expanded_any = False
+    for q in REFERENCE_QUERIES[:6]:
+        assert eng.search(q, k=10, expand=0) == eng.search(q, k=10)
+        otids = sorted({O.term_id[t] for t in set(tokenize(q))
+                        if t in O.term_id})
+        weights = {t: 1.0 for t in otids}
+        for t in otids:
+            kept = 0
+            for atid, s in assoc.get(t, ()):
+                if atid in set(otids):
+                    continue
+                if kept >= 2:
+                    break
+                weights[atid] = max(weights.get(atid, 0.0), 0.3 * s)
+                kept += 1
+        expanded_any |= len(weights) > len(otids)
+        scores = np.zeros(O.n_docs)
+        for tid, w in weights.items():
+            term = id2term[tid]
+            idf = bm25.idf(O.df.get(term, 0), O.n_docs)
+            for did, tf, _pos in O.postings.get(term, ()):
+                scores[did] += w * float(bm25.contrib(
+                    np.array([float(tf)]), np.array([float(O.doc_len[did])]),
+                    O.avgdl, idf)[0])
+        scores *= O.prior
+        order = sorted(range(O.n_docs), key=lambda d: (-scores[d], d))
+        want = [(d, scores[d]) for d in order if scores[d] > 0][:10]
+        got = eng.search(q, k=10, expand=2)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-6
+        assert got == eng.search(q, k=10, expand=2, prune=False), q
+    assert expanded_any  # the corpus must actually exercise expansion
+
+
 def test_unknown_terms(engine):
     assert engine.search("zzzznotaword", k=10) == []
     assert engine.search("", k=10) == []
