@@ -351,12 +351,24 @@ def build_index(spark, pages: DataFrame | str, index_dir: str, *,
                 n_range_buckets: int | None = None,
                 pagerank_iters: int = 20,
                 resume: bool = False,
-                concurrent_stages: bool = True) -> dict:
+                concurrent_stages: bool = True,
+                prior_ids: bool = False) -> dict:
     """Build the full index under ``index_dir``. Returns stage paths + stats.
 
     resume=True skips any stage whose manifest row matches the current input
     fingerprint and whose output is intact (write-then-commit makes this safe
     after a kill at any point).
+
+    prior_ids=True adds a second id pass after PageRank (stage ``ids_remap``)
+    that re-ranks the SERVING doc ids by (prior desc, url asc) — the purpose
+    of the reference's cluster hierarchy (DyableWebGraph/DyableClusterGraph/
+    DyableCommand/ClusterHiearchy.h:1-40): high-prior documents occupy the
+    low id range, so WAND's doc-ordered block traversal meets them first and
+    the top-k threshold rises early (measured blocks_scored drop, pytest).
+    Only the serving artifacts (``docs``, ``postings``) live in the remapped
+    space; ``docs_ids``/``doc_terms``/``links`` stay url-ranked so shard
+    merge and resume semantics are untouched. Query results are
+    rank-identical modulo the id permutation (urls and scores unchanged).
     """
     if isinstance(pages, str):
         pages_path = pages
@@ -382,7 +394,7 @@ def build_index(spark, pages: DataFrame | str, index_dir: str, *,
         content_sig = None
     base_ref = fingerprint(pages_path, n_pages, block_docs,
                            head_df_threshold, n_buckets, pagerank_iters,
-                           content_sig)
+                           content_sig, prior_ids)
     paths = {s: f"{index_dir}/{s}" for s in
              ("docs_ids", "extracted", "doc_terms", "anchor_terms", "terms",
               "links", "pagerank", "docs", "postings", "stats")}
@@ -468,13 +480,15 @@ def build_index(spark, pages: DataFrame | str, index_dir: str, *,
                          head_df_threshold=head_df_threshold,
                          n_buckets=n_buckets, pagerank_iters=pagerank_iters,
                          resume=resume, doc_terms_thunk=doc_terms_thunk,
-                         concurrent_stages=concurrent_stages)
+                         concurrent_stages=concurrent_stages,
+                         prior_ids=prior_ids)
 
 
 def _finish_index(spark, m: Manifest, base_ref: str, paths: dict,
                   n_pages: int, *, block_docs: int, head_df_threshold: int,
                   n_buckets: int, pagerank_iters: int, resume: bool,
-                  doc_terms_thunk=None, concurrent_stages: bool = True) -> dict:
+                  doc_terms_thunk=None, concurrent_stages: bool = True,
+                  prior_ids: bool = False) -> dict:
     """Stages downstream of (docs_ids, extracted) — shared by the fresh
     build and by merge_indexes (which supplies re-keyed shard outputs for
     the first three stages instead of re-running extraction).
@@ -573,6 +587,34 @@ def _finish_index(spark, m: Manifest, base_ref: str, paths: dict,
             .write.mode("overwrite").parquet(out)
         return n_pages
 
+    # -- ids_remap (prior_ids option): serving ids ranked by prior ----------
+    # (reference doc-id locality purpose, ClusterHiearchy.h:1-40): dense
+    # rank over (prior desc, url asc) via the same distributed prefix-sum —
+    # the struct key range-partitions lexicographically, no global window.
+    paths.setdefault("ids_remap",
+                     paths["docs"].rsplit("/", 1)[0] + "/ids_remap")
+
+    def w_ids_remap(out):
+        pr = spark.read.parquet(paths["pagerank"])
+        keyed = (docs_ids.join(pr, "doc_id")
+                 .select(F.col("doc_id").alias("old_id"), "url",
+                         F.struct((-F.col("pagerank")).alias("np"),
+                                  F.col("url").alias("u")).alias("_key")))
+        (assign_dense_ids(keyed, "_key", "new_id", p)
+         .select("old_id", "url", "new_id")
+         .write.mode("overwrite").parquet(out))
+        return n_pages
+
+    def _remap_stream(df: DataFrame) -> DataFrame:
+        """Replace old-space doc_id with the serving id (broadcast while
+        small; co-partitioned join at dims-too-big scale)."""
+        remap = (spark.read.parquet(paths["ids_remap"])
+                 .select(F.col("old_id").alias("doc_id"), "new_id"))
+        if n_pages and n_pages <= _BROADCAST_IDS_MAX:
+            remap = F.broadcast(remap)
+        return (df.join(remap, "doc_id").drop("doc_id")
+                .withColumnRenamed("new_id", "doc_id"))
+
     # -- docs: doc_len + prior assembly -------------------------------------
     def w_docs(out):
         doc_terms = spark.read.parquet(paths["doc_terms"])
@@ -585,7 +627,10 @@ def _finish_index(spark, m: Manifest, base_ref: str, paths: dict,
         # (reference CompileRankedList.h:206-242 removes checksum-identical
         # results from the ranked list)
         fp = extracted.select("doc_id", F.xxhash64("text").alias("text_fp"))
-        (base.join(pr, "doc_id").join(fp, "doc_id")
+        assembled = base.join(pr, "doc_id").join(fp, "doc_id")
+        if prior_ids:
+            assembled = _remap_stream(assembled)
+        (assembled
          .select("doc_id", "url", "doc_len", "text_fp",
                  (F.col("pagerank") * F.lit(float(n_pages))).alias("prior"))
          .write.mode("overwrite").parquet(out))
@@ -610,27 +655,47 @@ def _finish_index(spark, m: Manifest, base_ref: str, paths: dict,
         stage_thunk("pagerank", w_pagerank)()
 
     def docs_then_stats():
+        if prior_ids:
+            stage_thunk("ids_remap", w_ids_remap)()
         stage_thunk("docs", w_docs)()
         stage_thunk("stats", w_stats)()
 
     if concurrent_stages:
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            # the links -> 20-cycle-PageRank chain is scheduling-latency
-            # bound (many tiny stages), so it runs in the high-weight
-            # "latency" pool and its ladder hides under doc_terms' scan
-            wave1 = [pool.submit(_in_pool, spark, name, t)
-                     for name, t in (
-                         ("doc_terms", doc_terms_thunk),
-                         ("anchor", stage_thunk("anchor_terms",
-                                                w_anchor_terms)),
-                         ("latency", links_then_pagerank)) if t]
-            for f in wave1:
+        # Dependency-driven DAG (r3 — no wave barrier): each stage starts
+        # the moment its actual inputs are on disk. terms needs
+        # doc_terms+anchor_terms (NOT pagerank); docs+stats need
+        # doc_terms+pagerank (NOT anchor_terms) — so e.g. the term
+        # dictionary builds while the PageRank ladder is still iterating.
+        # The links -> 20-cycle-PageRank chain is scheduling-latency bound
+        # (many tiny stages): it runs in the high-weight "latency" pool so
+        # its small tasks take freed slots ahead of the heavy scans and the
+        # ladder hides under doc_terms. 5 workers >= 5 tasks: the dependent
+        # tasks block inside their worker without starving their deps.
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            f_dt = (pool.submit(_in_pool, spark, "doc_terms",
+                                doc_terms_thunk)
+                    if doc_terms_thunk else None)
+            f_at = pool.submit(_in_pool, spark, "anchor",
+                               stage_thunk("anchor_terms", w_anchor_terms))
+            f_lp = pool.submit(_in_pool, spark, "latency",
+                               links_then_pagerank)
+
+            def run_terms():
+                for f in (f_dt, f_at):
+                    if f:
+                        f.result()
+                return _in_pool(spark, "terms",
+                                stage_thunk("terms", w_terms))
+
+            def run_docs():
+                for f in (f_dt, f_lp):
+                    if f:
+                        f.result()
+                return _in_pool(spark, "docs", docs_then_stats)
+
+            for f in (pool.submit(run_terms), pool.submit(run_docs)):
                 f.result()
-            wave2 = [pool.submit(_in_pool, spark, "terms",
-                                 stage_thunk("terms", w_terms)),
-                     pool.submit(_in_pool, spark, "docs", docs_then_stats)]
-            for f in wave2:
-                f.result()
+            f_at.result()
     else:
         for t in filter(None, (doc_terms_thunk,
                                stage_thunk("anchor_terms", w_anchor_terms),
@@ -667,8 +732,14 @@ def _finish_index(spark, m: Manifest, base_ref: str, paths: dict,
             F.lit(0).cast("int").alias("title_tf"),
             F.lit(0).cast("int").alias("meta_tf"),
             F.lit(0).cast("int").alias("alt_tf"), "anchor_tf")
+        stream = body.unionByName(anch)
+        if prior_ids:
+            # move the hit stream into the serving id space BEFORE the dims
+            # join and the (term_id, bucket) grouping — blocks sort by the
+            # prior-ranked ids, which is the whole point of the option
+            stream = _remap_stream(stream)
         pre = (
-            body.unionByName(anch)
+            stream
             .join(terms.select("term", "term_id", "df"), "term")
             .join(docs.select("doc_id", "doc_len", "prior"), "doc_id")
             .withColumn("bucket", F.when(
