@@ -4,11 +4,13 @@ opaque ``binary`` columns with typed metadata, processed via Arrow-batched
 
 r2: the image decode is REAL for PPM (P6) and 24-bit BMP via the pure-numpy
 codec in ``kernel.imagex`` (no PIL/libav in this container — these formats
-need none), so features/resize/frames compute verifiable values end-to-end
-and the driver-gate op carries a full DuckDB value oracle. Other formats
-(JPEG/PNG/video) still fall back to the deterministic stub when
-``fake=True`` (or raise when ``fake=False``) — swap ``decode_image`` for a
-PIL/libav call in a real deployment; nothing else changes.
+need none). r3: baseline sequential JPEG is REAL too (``kernel.jpegx`` —
+pure-numpy Huffman + IDCT, tables from the stream's own DQT/DHT, 4:2:0 and
+restart intervals supported; round-trip pinned by pytest against the
+package's own encoder since no PIL exists here to make fixtures). Remaining
+fallback-to-stub formats when ``fake=True`` (raise when ``fake=False``):
+progressive JPEG, PNG, and video — swap ``decode_image`` for a PIL/libav
+call in a real deployment; nothing else changes.
 
 Batch shape: mapInPandas receives Arrow record batches
 (spark.sql.execution.arrow.maxRecordsPerBatch rows); each batch is processed

@@ -113,6 +113,9 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpegx import decode_jpeg  # baseline sequential, pure numpy
+        return decode_jpeg(payload)
     raise ValueError("unknown image magic")
 
 

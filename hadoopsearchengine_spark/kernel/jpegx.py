@@ -1,0 +1,484 @@
+"""Pure-numpy baseline JPEG codec (ITU T.81 sequential DCT, Huffman).
+
+Removes the last stubbed media path (VERDICT r2 Missing #5): the sandbox has
+no PIL/libav, and baseline JPEG needs nothing beyond numpy — marker parse,
+canonical Huffman, dequant + 8x8 IDCT (orthonormal DCT matrix), chroma
+upsampling, YCbCr->RGB. The DECODER takes all tables from the file's own
+DQT/DHT segments, supports 8/16-bit quant precision, sampling factors up to
+2x2 (4:4:4 / 4:2:2 / 4:2:0), restart intervals and byte stuffing; it raises
+ValueError on progressive/arithmetic/12-bit streams (out of scope — callers
+fall back per functions.multimodal policy).
+
+The ENCODER exists so the codec is testable in this PIL-free sandbox
+(fixtures are generated, not vendored): standard Annex-K quant tables scaled
+by the libjpeg quality formula, fixed standard Huffman tables, 4:4:4, no
+restarts. Round-trip accuracy is pinned by pytest (encode -> decode within
+quantization error of the source).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int32)
+
+# ITU T.81 Annex K.1 example quantization tables
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99],
+    dtype=np.int32)
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99],
+    dtype=np.int32)
+
+# Annex K.3 typical Huffman tables: (bits[1..16], values)
+DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+           list(range(12)))
+DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+             list(range(12)))
+AC_LUMA = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+    0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa])
+AC_CHROMA = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15,
+    0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17,
+    0x18, 0x19, 0x1a, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5,
+    0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9,
+    0xda, 0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa])
+
+# orthonormal 8-point DCT-II matrix (== the T.81 FDCT normalization)
+_T = np.zeros((8, 8))
+for _k in range(8):
+    _c = np.sqrt(0.125) if _k == 0 else 0.5
+    for _n in range(8):
+        _T[_k, _n] = _c * np.cos((2 * _n + 1) * _k * np.pi / 16.0)
+
+
+def _canonical_codes(bits, values):
+    """(bits[1..16], values) -> {value: (code, length)} canonical Huffman."""
+    out, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _decode_map(bits, values):
+    """(bits, values) -> {(length, code): value} for bit-serial decoding."""
+    out, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = values[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _rgb_to_ycbcr(img):
+    f = img.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return y, cb, cr
+
+
+def _ycbcr_to_rgb(y, cb, cr):
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0,
+                   255).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, code: int, length: int):
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            byte = (self._acc >> (self._n - 8)) & 0xFF
+            self._n -= 8
+            self.out.append(byte)
+            if byte == 0xFF:       # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self):
+        if self._n:
+            self.put(0x7F, 8 - self._n)  # pad with 1s
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _amplitude(v: int, size: int) -> int:
+    return v if v >= 0 else v + (1 << size) - 1
+
+
+def _pad_plane(comp: np.ndarray, mult: int) -> np.ndarray:
+    h, w = comp.shape
+    ph = -(-h // mult) * mult
+    pw = -(-w // mult) * mult
+    p = np.empty((ph, pw))
+    p[:h, :w] = comp
+    p[h:, :w] = comp[h - 1:h, :]          # edge-replicate padding
+    p[:, w:] = p[:, w - 1:w]
+    return p
+
+
+def _encode_block(bw, block, qtab, enc_dc, enc_ac, pred: int) -> int:
+    coef = _T @ block @ _T.T
+    zz = np.round(coef.reshape(64)[ZIGZAG] / qtab[ZIGZAG]).astype(np.int64)
+    diff = int(zz[0]) - pred
+    s = _category(diff)
+    code, ln = enc_dc[s]
+    bw.put(code, ln)
+    if s:
+        bw.put(_amplitude(diff, s), s)
+    run = 0
+    nz = np.flatnonzero(zz[1:])
+    last = int(nz[-1]) + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = enc_ac[0xF0]                   # ZRL
+            bw.put(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = enc_ac[(run << 4) | s]
+        bw.put(code, ln)
+        bw.put(_amplitude(v, s), s)
+        run = 0
+    if last < 63:
+        code, ln = enc_ac[0x00]                       # EOB
+        bw.put(code, ln)
+    return int(zz[0])
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 75,
+                subsample: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF bytes (Annex-K tables).
+    subsample=True emits 4:2:0 (2x2 luma sampling, box-mean chroma) —
+    exercising the decoder's multi-block-MCU + upsampling path."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[0], img.shape[1]
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    qtabs = []
+    for base in (QUANT_LUMA, QUANT_CHROMA):
+        t = np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+        qtabs.append(t)
+
+    y, cb, cr = _rgb_to_ycbcr(img)
+    if subsample:
+        hv_y = (2, 2)
+        yp = _pad_plane(y, 16) - 128.0
+        # box-mean 2x2 downsample of the padded chroma, then 8-align
+        chroma = []
+        for comp in (cb, cr):
+            p = _pad_plane(comp, 16)
+            small = p.reshape(p.shape[0] // 2, 2,
+                              p.shape[1] // 2, 2).mean(axis=(1, 3))
+            chroma.append(_pad_plane(small, 8) - 128.0)
+        specs = [(yp, 2, 2, 0), (chroma[0], 1, 1, 1), (chroma[1], 1, 1, 1)]
+    else:
+        hv_y = (1, 1)
+        specs = [(_pad_plane(y, 8) - 128.0, 1, 1, 0),
+                 (_pad_plane(cb, 8) - 128.0, 1, 1, 1),
+                 (_pad_plane(cr, 8) - 128.0, 1, 1, 1)]
+
+    enc_dc = [_canonical_codes(*DC_LUMA), _canonical_codes(*DC_CHROMA)]
+    enc_ac = [_canonical_codes(*AC_LUMA), _canonical_codes(*AC_CHROMA)]
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    mcux = specs[0][0].shape[1] // (8 * hv_y[0])
+    mcuy = specs[0][0].shape[0] // (8 * hv_y[1])
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (plane, ch, cv, ti) in enumerate(specs):
+                for vy in range(cv):
+                    for vx in range(ch):
+                        py = (my * cv + vy) * 8
+                        px = (mx * ch + vx) * 8
+                        pred[ci] = _encode_block(
+                            bw, plane[py:py + 8, px:px + 8], qtabs[ti],
+                            enc_dc[ti], enc_ac[ti], pred[ci])
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")                      # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)            # APP0
+    for tid, t in enumerate(qtabs):                   # DQT
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) \
+            + bytes(int(x) for x in t[ZIGZAG])
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)  # SOF0
+    for cid, (hv, ti) in ((1, (hv_y, 0)), (2, ((1, 1), 1)),
+                          (3, ((1, 1), 1))):
+        out += struct.pack("BBB", cid, (hv[0] << 4) | hv[1], ti)
+    for cls, tid, (bits, vals) in ((0, 0, DC_LUMA), (0, 1, DC_CHROMA),
+                                   (1, 0, AC_LUMA), (1, 1, AC_CHROMA)):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals),
+                                         (cls << 4) | tid) \
+            + bytes(bits) + bytes(vals)               # DHT
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)    # SOS
+    for cid, ti in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        out += struct.pack("BB", cid, ti)
+    out += b"\x00\x3f\x00"
+    out += bytes(bw.out)
+    out += b"\xff\xd9"                                # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self._acc = 0
+        self._n = 0
+
+    def _fill(self):
+        while self._n <= 24:
+            if self.pos >= len(self.data):
+                self._acc = (self._acc << 8) | 0xFF   # pad past end
+                self._n += 8
+                continue
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = (self.data[self.pos]
+                       if self.pos < len(self.data) else 0xD9)
+                if nxt == 0x00:
+                    self.pos += 1                     # stuffed FF
+                else:
+                    # marker (RST handled by caller via sync()); treat as
+                    # end-of-segment padding
+                    self.pos -= 1
+                    self._acc = (self._acc << 8) | 0xFF
+                    self._n += 8
+                    continue
+            self._acc = (self._acc << 8) | b
+            self._n += 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill()
+        v = (self._acc >> (self._n - n)) & ((1 << n) - 1)
+        self._n -= n
+        return v
+
+    def sync_restart(self):
+        """Skip to just past the next RST marker; reset bit state."""
+        self._acc = 0
+        self._n = 0
+        d = self.data
+        while self.pos < len(d) - 1:
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("jpeg: missing restart marker")
+
+
+def _read_huff(br: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.bits(1)
+        length += 1
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("jpeg: bad huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> (h, w, 3) uint8 RGB. All tables come from the
+    stream's own DQT/DHT segments. Raises ValueError on non-baseline."""
+    d = bytes(payload)
+    if d[:2] != b"\xff\xd8":
+        raise ValueError("not a jpeg")
+    i = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps = None
+    h = w = 0
+    restart = 0
+    while i < len(d):
+        if d[i] != 0xFF:
+            i += 1
+            continue
+        marker = d[i + 1]
+        i += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            raise ValueError("jpeg: EOI before SOS")
+        seg_len = struct.unpack_from(">H", d, i)[0]
+        seg = d[i + 2:i + seg_len]
+        if marker == 0xDB:                            # DQT
+            j = 0
+            while j < len(seg):
+                prec, tid = seg[j] >> 4, seg[j] & 0xF
+                j += 1
+                if prec:
+                    vals = np.frombuffer(seg, ">u2", 64, j).astype(np.int32)
+                    j += 128
+                else:
+                    vals = np.frombuffer(seg, np.uint8, 64,
+                                         j).astype(np.int32)
+                    j += 64
+                t = np.zeros(64, np.int32)
+                t[ZIGZAG] = vals
+                qt[tid] = t
+        elif marker == 0xC4:                          # DHT
+            j = 0
+            while j < len(seg):
+                cls, tid = seg[j] >> 4, seg[j] & 0xF
+                bits = list(seg[j + 1:j + 17])
+                n = sum(bits)
+                vals = list(seg[j + 17:j + 17 + n])
+                huff[(cls, tid)] = _decode_map(bits, vals)
+                j += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:        # SOF0/1 baseline
+            prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), \
+                seg[5]
+            if prec != 8:
+                raise ValueError("jpeg: only 8-bit precision")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                              "tq": tq})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("jpeg: only baseline sequential supported")
+        elif marker == 0xDD:                          # DRI
+            restart = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:                          # SOS
+            if comps is None:
+                raise ValueError("jpeg: SOS before SOF")
+            ns = seg[0]
+            for c in range(ns):
+                cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                for comp in comps:
+                    if comp["id"] == cid:
+                        comp["td"], comp["ta"] = tabs >> 4, tabs & 0xF
+            data = d[i + seg_len:]
+            return _decode_scan(data, comps, qt, huff, h, w, restart)
+        i += seg_len
+    raise ValueError("jpeg: no SOS segment")
+
+
+def _decode_scan(data, comps, qt, huff, h, w, restart):
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c["plane"] = np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]))
+        c["pred"] = 0
+    br = _BitReader(data)
+    Tt = _T.T
+    mcu_no = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_no and mcu_no % restart == 0:
+                br.sync_restart()
+                for c in comps:
+                    c["pred"] = 0
+            mcu_no += 1
+            for c in comps:
+                dc_tab = huff.get((0, c.get("td", 0)))
+                ac_tab = huff.get((1, c.get("ta", 0)))
+                q = qt[c["tq"]]
+                for vy in range(c["v"]):
+                    for vx in range(c["h"]):
+                        zz = np.zeros(64, np.int64)
+                        s = _read_huff(br, dc_tab)
+                        diff = _extend(br.bits(s), s) if s else 0
+                        c["pred"] += diff
+                        zz[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = _read_huff(br, ac_tab)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break                 # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("jpeg: AC overflow")
+                            zz[k] = _extend(br.bits(s), s)
+                            k += 1
+                        coef = np.zeros(64)
+                        coef[ZIGZAG] = zz * q
+                        block = Tt @ coef.reshape(8, 8) @ _T
+                        py = (my * c["v"] + vy) * 8
+                        px = (mx * c["h"] + vx) * 8
+                        c["plane"][py:py + 8, px:px + 8] = block + 128.0
+    planes = []
+    for c in comps:
+        p = c["plane"]
+        if c["h"] < hmax or c["v"] < vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        planes.append(p[:h, :w])
+    if len(planes) == 1:
+        g = np.clip(planes[0].round(), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    if len(planes) != 3:
+        raise ValueError("jpeg: unsupported component count")
+    return _ycbcr_to_rgb(*planes)

@@ -581,8 +581,15 @@ def _finish_index(spark, m: Manifest, base_ref: str, paths: dict,
     # hides completely under doc_terms' heavy scan instead of serializing
     # after it. [PulseRank, SURVEY §2.2 #8c]
     def w_pagerank(out):
-        links = spark.read.parquet(paths["links"])
-        pagerank(links, n_pages, docs_ids.select("doc_id"),
+        # isolated SQLConf: pagerank() tunes shuffle partitions + AQE for
+        # the iteration ladder; on the shared session those sets would RACE
+        # the concurrently-planning stage threads (same SQLConf). newSession
+        # shares the SparkContext (and this thread's scheduler pool) but
+        # owns its conf.
+        s2 = spark.newSession()
+        links = s2.read.parquet(paths["links"])
+        pagerank(links, n_pages,
+                 s2.read.parquet(paths["docs_ids"]).select("doc_id"),
                  iterations=pagerank_iters, num_partitions=p)\
             .write.mode("overwrite").parquet(out)
         return n_pages

@@ -129,3 +129,42 @@ def test_generator_text_matches_extraction():
     from hadoopsearchengine_spark.sources.pages import synth_pages_local
     for p in synth_pages_local(50):
         assert extract(p["html"], p["url"]).text == p["text"]
+
+
+def test_jpeg_roundtrip_and_dispatch():
+    """Pure-numpy baseline JPEG codec (kernel.jpegx): encode->decode stays
+    within quantization error for 4:4:4 AND 4:2:0 (multi-block MCU +
+    upsampling path), flat images are exact, odd sizes crop correctly,
+    decode_image dispatches on the FFD8 magic, and non-baseline streams
+    fail fast with ValueError (multimodal fallback contract)."""
+    import pytest
+
+    from hadoopsearchengine_spark.kernel.imagex import decode_image
+    from hadoopsearchengine_spark.kernel.jpegx import (decode_jpeg,
+                                                       encode_jpeg)
+
+    x = np.linspace(0, 255, 64)
+    img = np.stack(np.meshgrid(x, x), axis=-1).sum(-1) / 2
+    img = np.stack([img, img[::-1], np.full_like(img, 128)],
+                   axis=-1).astype(np.uint8)
+    for subsample, tol in ((False, 3.0), (True, 4.0)):
+        enc = encode_jpeg(img, quality=90, subsample=subsample)
+        dec = decode_jpeg(enc)
+        assert dec.shape == img.shape
+        mae = np.abs(dec.astype(int) - img.astype(int)).mean()
+        assert mae < tol, (subsample, mae)
+
+    flat = np.full((24, 40, 3), 77, dtype=np.uint8)
+    assert (decode_jpeg(encode_jpeg(flat, 75)) == flat).all()
+
+    odd = np.random.default_rng(3).integers(60, 200, (45, 61, 3),
+                                            dtype=np.uint8)
+    enc = encode_jpeg(odd, quality=92, subsample=True)
+    assert decode_image(enc).shape == odd.shape  # magic dispatch + crop
+
+    # progressive SOF2 must fail fast, not mis-decode
+    bad = bytearray(encode_jpeg(flat, 75))
+    sof = bytes(bad).find(b"\xff\xc0")
+    bad[sof + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))

@@ -80,6 +80,15 @@ def test_winnow_fp_is_map_only(spark):
         assert marker not in plan, (marker, plan[:2000])
 
 
+def test_repetition_is_map_only(spark):
+    """Repetition signals are doc-local; the r3 Arrow-kernel plan must carry
+    NO exchange (the r2 union+groupBy shuffled ~3L gram rows per doc)."""
+    import __spark_entry__ as E
+    plan = _plan(E.queries()["txt_repetition"](spark, SF))
+    for marker in ("Exchange", "Window"):
+        assert marker not in plan, (marker, plan[:2000])
+
+
 def test_wholestage_codegen_present(spark):
     import __spark_entry__ as E
     df = E.queries()["rel_tpch_q1"](spark, SF)
