@@ -415,6 +415,77 @@ def q_mm_media_features(spark, sf):
             .select("media_id", "n_bytes", "width", "height", "payload_sha"))
 
 
+def q_txt_spell_suggest(spark, sf):
+    """Spell check / did-you-mean (reference close-spellings tier,
+    DyableRequest/DyableQuery/TextStringServer.h:118-192): deterministic
+    misspellings — the 2nd character dropped from each of the corpus's 20
+    highest-df terms of length >= 4 — corrected against the term dictionary
+    by (levenshtein distance <= 2, df desc, term asc), top 3 each.
+
+    Scale shape (operators/spell.py): the tiny qterm set is BROADCAST onto
+    one dictionary scan; a length-band prefilter guards the JVM levenshtein
+    expression; only surviving candidate rows reach the per-qterm window.
+    The dictionary — the 100-TB side — is never shuffled."""
+    from hadoopsearchengine_spark.operators.spell import spell_suggest_df
+
+    d = load(spark, sf, "documents")
+    dict_df = (d.select("doc_id",
+                        F.explode(tokens_col(F.col("text"))).alias("term"))
+               .distinct()
+               .groupBy("term").agg(F.count("*").alias("df")))
+    top = (dict_df.where(F.length("term") >= 4)
+           .orderBy(F.desc("df"), "term").limit(20)
+           .select(F.concat(F.substring("term", 1, 1),
+                            F.expr("substring(term, 3)")).alias("qterm"))
+           .distinct())
+    return spell_suggest_df(dict_df, top, max_dist=2, topn=3)
+
+
+def q_mm_pixel_dedup(spark, sf):
+    """Cross-FORMAT exact image dedup over decoded pixels: per doc_id a
+    deterministic grayscale image keyed by g = doc_id % 50 (w = 12 + g%9,
+    h = 12 + g%7, v(x,y) = (11g + 2x + 9y) mod 256) is encoded into a
+    container chosen by doc_id % 3 — PPM, BMP, or PNG (filter-2 rows, so
+    the inflate+unfilter path is exercised) — then decoded by the real
+    pure-numpy codecs (kernel.imagex dispatch) and deduped by the sha256 of
+    the DECODED channel-0 bytes. Same pixels in different containers
+    collapse to one group; payload-byte hashing cannot do this. The DuckDB
+    oracle re-derives the pixel digest from the generator formula —
+    container-independent because PNG/BMP/PPM are all lossless — so the
+    whole decode path is value-exact end-to-end."""
+    from hadoopsearchengine_spark.functions.multimodal import (
+        pixel_signatures)
+    from hadoopsearchengine_spark.kernel import imagex
+    from hadoopsearchengine_spark.kernel.pngx import encode_png
+
+    d = load(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g = did % 50
+                w, h = 12 + g % 9, 12 + g % 7
+                v = ((g * 11 + 2 * np.arange(w)[None, :]
+                      + 9 * np.arange(h)[:, None]) % 256).astype(np.uint8)
+                img = np.repeat(v[:, :, None], 3, axis=2)
+                fmt = did % 3
+                payload = (imagex.encode_ppm(img) if fmt == 0 else
+                           imagex.encode_bmp(img) if fmt == 1 else
+                           encode_png(img, up_filter=True))
+                rows.append((did, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = d.mapInPandas(gen, "doc_id long, payload binary")
+    sigs = pixel_signatures(payloads, "payload", "doc_id")
+    return (sigs.groupBy("pix_sha", "width", "height")
+            .agg(F.count("*").alias("n_copies"),
+                 F.min("media_id").alias("keeper_id")))
+
+
 def q_stream_hourly_window(spark, sf):
     """Structured-Streaming tumbling window over the events table (memory
     sink, processAllAvailable) — same result as the batch q_evt_hourly_window,
@@ -970,6 +1041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_neardup": q_sim_neardup,
         "mm_media_features": q_mm_media_features,
+        "mm_pixel_dedup": q_mm_pixel_dedup,
+        "txt_spell_suggest": q_txt_spell_suggest,
         "stream_hourly_window": q_stream_hourly_window,
         "rel_rollup": q_rel_rollup,
         "rel_pivot": q_rel_pivot,
@@ -1616,6 +1689,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(w AS INT) AS width, CAST(h AS INT) AS height,
                    sha256(hx) AS payload_sha
             FROM payload"""
+    # txt_spell_suggest: DuckDB has the same standard (ins/del/sub)
+    # levenshtein as Spark's JVM expression, so the correction ranking
+    # oracles exactly
+    sql['txt_spell_suggest'] = f"""
+            WITH tok AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS term
+                         FROM documents),
+            dict AS (SELECT term, count(*) AS df FROM tok GROUP BY 1),
+            top AS (SELECT term FROM dict WHERE length(term) >= 4
+                    ORDER BY df DESC, term LIMIT 20),
+            q AS (SELECT DISTINCT substr(term, 1, 1) || substr(term, 3)
+                         AS qterm FROM top),
+            cand AS (SELECT q.qterm, d.term AS suggestion, d.df,
+                            CAST(levenshtein(q.qterm, d.term) AS INT)
+                            AS dist
+                     FROM q, dict d
+                     WHERE abs(length(d.term) - length(q.qterm)) <= 2
+                       AND levenshtein(q.qterm, d.term) <= 2),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY qterm
+                           ORDER BY dist, df DESC, suggestion) AS rk
+                       FROM cand)
+            SELECT qterm, suggestion, dist, df, CAST(rk AS INT) AS rk
+            FROM ranked WHERE rk <= 3"""
+    # mm_pixel_dedup: the digest is over DECODED pixels, so the oracle is
+    # container-independent — recompute the channel-0 hex from the generator
+    # formula per group g = doc_id % 50 and count/keep from documents alone
+    sql['mm_pixel_dedup'] = """
+            WITH grp AS (SELECT doc_id % 50 AS g,
+                                CAST(count(*) AS BIGINT) AS n_copies,
+                                min(doc_id) AS keeper_id
+                         FROM documents GROUP BY 1),
+            dims AS (SELECT g, n_copies, keeper_id,
+                            12 + g % 9 AS w, 12 + g % 7 AS h
+                     FROM grp),
+            px AS (SELECT d.g, y.y, x.x,
+                          CAST((d.g * 11 + 2 * x.x + 9 * y.y) % 256
+                               AS INT) AS v
+                   FROM dims d,
+                        LATERAL (SELECT unnest(generate_series(0, d.h - 1))
+                                 AS y) y,
+                        LATERAL (SELECT unnest(generate_series(0, d.w - 1))
+                                 AS x) x),
+            body AS (SELECT g, string_agg(lpad(hex(v), 2, '0'), ''
+                                          ORDER BY y, x) AS hx
+                     FROM px GROUP BY 1)
+            SELECT sha256(b.hx) AS pix_sha, CAST(d.w AS INT) AS width,
+                   CAST(d.h AS INT) AS height, d.n_copies, d.keeper_id
+            FROM body b JOIN dims d USING (g)"""
     sql['txt_keywords_phrases'] = f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
             uni AS (SELECT doc_id, unnest(ts) AS keyword FROM toks),

@@ -7,10 +7,12 @@ codec in ``kernel.imagex`` (no PIL/libav in this container — these formats
 need none). r3: baseline sequential JPEG is REAL too (``kernel.jpegx`` —
 pure-numpy Huffman + IDCT, tables from the stream's own DQT/DHT, 4:2:0 and
 restart intervals supported; round-trip pinned by pytest against the
-package's own encoder since no PIL exists here to make fixtures). Remaining
+package's own encoder since no PIL exists here to make fixtures), and so is
+non-interlaced 8-bit PNG (``kernel.pngx`` — stdlib zlib + numpy unfilter,
+all five scanline filters, gray/palette/RGB/RGBA). Remaining
 fallback-to-stub formats when ``fake=True`` (raise when ``fake=False``):
-progressive JPEG, PNG, and video — swap ``decode_image`` for a PIL/libav
-call in a real deployment; nothing else changes.
+progressive JPEG, interlaced/16-bit PNG, and video — swap ``decode_image``
+for a PIL/libav call in a real deployment; nothing else changes.
 
 Batch shape: mapInPandas receives Arrow record batches
 (spark.sql.execution.arrow.maxRecordsPerBatch rows); each batch is processed
@@ -122,3 +124,34 @@ def sample_frames(df: DataFrame, media_col: str, id_col: str,
 
     return df.select(id_col, media_col).mapInPandas(
         run, schema="media_id long, frame_no int, offset long, frame binary")
+
+
+PIXEL_SIG_SCHEMA = "media_id long, width int, height int, pix_sha string"
+
+
+def pixel_signatures(df: DataFrame, media_col: str, id_col: str) -> DataFrame:
+    """Content-addressed signature of the DECODED image: (id, binary) ->
+    (id, width, height, sha256 of the row-major channel-0 pixel bytes).
+
+    The point is cross-FORMAT exact image dedup for a training-data
+    pipeline: the same pixels stored as PPM, BMP or PNG hash identically
+    because the digest is over decoder output, not payload bytes (payload
+    sha256 — extract_media_features — can't see through containers).
+    Hashing the uppercase-hex encoding keeps the digest recomputable by a
+    SQL oracle (DuckDB sha256 takes VARCHAR only; hex() is uppercase).
+    mapInPandas keeps decode Arrow-batched and partition-parallel; output
+    is one short row per image regardless of pixel count."""
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[media_col]):
+                img = imagex.decode_image(bytes(payload))
+                h, w = img.shape[0], img.shape[1]
+                hx = img[:, :, 0].tobytes().hex().upper()
+                rows.append((int(mid), w, h,
+                             hashlib.sha256(hx.encode()).hexdigest()))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "pix_sha"])
+
+    return df.select(id_col, media_col).mapInPandas(
+        run, schema=PIXEL_SIG_SCHEMA)

@@ -116,6 +116,9 @@ def decode_image(payload: bytes) -> np.ndarray:
     if payload[:2] == b"\xff\xd8":
         from .jpegx import decode_jpeg  # baseline sequential, pure numpy
         return decode_jpeg(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from .pngx import decode_png   # non-interlaced 8-bit, numpy+zlib
+        return decode_png(payload)
     raise ValueError("unknown image magic")
 
 

@@ -1,0 +1,148 @@
+"""Pure-numpy+zlib PNG codec (RFC 2083 / ISO 15948, non-interlaced 8-bit).
+
+Companion to ``kernel.jpegx``: the sandbox has no PIL, and non-interlaced
+8-bit PNG needs nothing beyond stdlib ``zlib`` and numpy. The DECODER
+handles color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha) and
+6 (RGBA) — alpha/transparency dropped: the pipeline output is RGB —
+multiple IDAT chunks, and all five scanline
+filters (None/Sub/Up/Average/Paeth — Sub/Up vectorized, Average/Paeth
+per-pixel over byte lanes). It raises ValueError on interlaced (Adam7) or
+16-bit streams — callers fall back per ``functions.multimodal`` policy.
+
+The ENCODER exists so the codec is testable in this PIL-free sandbox
+(fixtures are generated, not vendored): 8-bit RGB/RGBA/gray, per-row
+filter 0 or 2, one IDAT.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+# samples per pixel by color type
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def encode_png(img: np.ndarray, up_filter: bool = False) -> bytes:
+    """(h, w), (h, w, 3) or (h, w, 4) uint8 -> PNG bytes.
+    up_filter=True emits per-row filter type 2 (Up) instead of 0 —
+    exercising the decoder's unfilter path with a non-trivial filter."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    if up_filter:
+        prev = np.zeros((1, w, c), np.uint8)
+        raw = (img - np.concatenate([prev, img[:-1]], axis=0))
+        ftype = 2
+    else:
+        raw = img
+        ftype = 0
+    rows = np.concatenate(
+        [np.full((h, 1), ftype, np.uint8),
+         raw.reshape(h, w * c)], axis=1)
+    out = bytearray(_SIG)
+    out += _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+    out += _chunk(b"IDAT", zlib.compress(rows.tobytes(), 6))
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter(data: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """(h, 1+stride) filtered scanlines -> (h, stride) recon bytes."""
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    for r in range(h):
+        ft = int(data[r, 0])
+        line = data[r, 1:].astype(np.int64)
+        up = recon[r - 1].astype(np.int64) if r else np.zeros(
+            stride, np.int64)
+        if ft == 0:
+            recon[r] = line
+        elif ft == 1:                                 # Sub: lane-wise cumsum
+            lanes = line.reshape(-1, bpp)
+            recon[r] = (np.cumsum(lanes, axis=0) % 256).reshape(
+                stride).astype(np.uint8)
+        elif ft == 2:                                 # Up
+            recon[r] = ((line + up) % 256).astype(np.uint8)
+        elif ft == 3:                                 # Average
+            out = np.zeros(stride, np.int64)
+            for i in range(stride):
+                left = out[i - bpp] if i >= bpp else 0
+                out[i] = (line[i] + (left + up[i]) // 2) % 256
+            recon[r] = out.astype(np.uint8)
+        elif ft == 4:                                 # Paeth
+            out = np.zeros(stride, np.int64)
+            for i in range(stride):
+                left = out[i - bpp] if i >= bpp else 0
+                ul = up[i - bpp] if i >= bpp else 0
+                out[i] = (line[i] + _paeth(int(left), int(up[i]),
+                                           int(ul))) % 256
+            recon[r] = out.astype(np.uint8)
+        else:
+            raise ValueError(f"png: bad filter type {ft}")
+    return recon
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, 3) uint8 RGB (alpha dropped after gray/palette
+    expansion). Raises ValueError on interlaced or non-8-bit streams."""
+    d = bytes(payload)
+    if d[:8] != _SIG:
+        raise ValueError("not a png")
+    i = 8
+    w = h = depth = ctype = interlace = -1
+    idat = bytearray()
+    palette = None
+    while i + 8 <= len(d):
+        ln, tag = struct.unpack_from(">I4s", d, i)
+        body = d[i + 8:i + 8 + ln]
+        i += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body)
+            if depth != 8:
+                raise ValueError("png: only 8-bit depth supported")
+            if interlace:
+                raise ValueError("png: interlaced (Adam7) not supported")
+            if comp or filt or ctype not in _CHANNELS:
+                raise ValueError("png: bad IHDR")
+        elif tag == b"PLTE":
+            palette = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if h < 0 or not idat:
+        raise ValueError("png: missing IHDR/IDAT")
+    c = _CHANNELS[ctype]
+    stride = w * c
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("png: IDAT length mismatch")
+    px = _unfilter(raw.reshape(h, stride + 1), h, stride, c).reshape(h, w, c)
+    if ctype == 3:
+        if palette is None:
+            raise ValueError("png: palette image without PLTE")
+        return palette[px[:, :, 0]]
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]

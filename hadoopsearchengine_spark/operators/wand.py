@@ -462,6 +462,22 @@ class QueryEngine:
         out = sorted(((-nd, s) for s, nd in heap), key=lambda x: (-x[1], x[0]))
         return store([(int(d), float(s)) for d, s in out])
 
+    def did_you_mean(self, query: str, max_dist: int = 2,
+                     topn: int = 1) -> dict[str, list[tuple[str, int, int]]]:
+        """Close-spelling suggestions for the query terms NOT in the term
+        dictionary: {unknown_term: [(suggestion, dist, df)]} ranked
+        (edit distance, df desc, term) — the reference's close-spellings
+        tier (DyableRequest/DyableQuery/TextStringServer.h:118-192). Known
+        terms are never 'corrected'. Backed by the vectorized in-memory
+        Levenshtein over the dictionary the engine already holds
+        (operators.spell.SpellIndex, built lazily on first call)."""
+        from .spell import SpellIndex
+        if getattr(self, "_spell", None) is None:
+            self._spell = SpellIndex(self.term_df)
+        return {t: self._spell.suggest(t, max_dist, topn)
+                for t in sorted(set(tokenize(query)))
+                if t not in self.term_id}
+
     def snippets(self, doc_ids: list[int]) -> dict[int, str]:
         """Display text per doc: the FIRST excerpt record, falling back to
         the title when the document is too short to carry excerpts — the

@@ -168,3 +168,72 @@ def test_jpeg_roundtrip_and_dispatch():
     bad[sof + 1] = 0xC2
     with pytest.raises(ValueError):
         decode_jpeg(bytes(bad))
+
+
+def test_png_roundtrip_filters_and_dispatch():
+    """Pure numpy+zlib PNG codec (kernel.pngx): lossless round-trip for
+    RGB/RGBA/gray with filter types 0 and 2, a hand-filtered palette image
+    exercising Sub/Average/Paeth plus multi-IDAT reassembly, decode_image
+    dispatch on the PNG signature, and fail-fast on 16-bit / interlaced."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from hadoopsearchengine_spark.kernel.imagex import decode_image
+    from hadoopsearchengine_spark.kernel.pngx import (_chunk, decode_png,
+                                                      encode_png)
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(rgb)) == rgb).all()
+    assert (decode_png(encode_png(rgb, up_filter=True)) == rgb).all()
+    assert (decode_image(encode_png(rgb)) == rgb).all()  # signature dispatch
+    rgba = rng.integers(0, 256, (20, 21, 4), dtype=np.uint8)
+    assert (decode_png(encode_png(rgba)) == rgba[:, :, :3]).all()
+    gray = rng.integers(0, 256, (15, 9), dtype=np.uint8)
+    assert (decode_png(encode_png(gray))
+            == np.repeat(gray[:, :, None], 3, 2)).all()
+
+    # hand-filtered palette stream: rows cycle filters 0..4 (our encoder
+    # never emits Sub/Average/Paeth), IDAT split in two
+    h, w = 6, 8
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (h, w), dtype=np.uint8)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    rows = bytearray()
+    prev = np.zeros(w, np.int64)
+    for r in range(h):
+        line = idx[r].astype(np.int64)
+        ft = r % 5
+        rows.append(ft)
+        lf = lambda i: line[i - 1] if i else 0
+        pred = [0 if ft == 0 else
+                lf(i) if ft == 1 else
+                prev[i] if ft == 2 else
+                (lf(i) + prev[i]) // 2 if ft == 3 else
+                paeth(lf(i), prev[i], prev[i - 1] if i else 0)
+                for i in range(w)]
+        rows += bytes(((line - np.array(pred)) % 256).astype(np.uint8))
+        prev = line
+    png = bytearray(b"\x89PNG\r\n\x1a\n")
+    png += _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+    png += _chunk(b"PLTE", pal.tobytes())
+    comp = zlib.compress(bytes(rows))
+    png += _chunk(b"IDAT", comp[:10]) + _chunk(b"IDAT", comp[10:])
+    png += _chunk(b"IEND", b"")
+    assert (decode_png(bytes(png)) == pal[idx]).all()
+
+    bad16 = bytearray(encode_png(rgb))
+    bad16[24] = 16                      # bit depth byte in IHDR
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad16))
+    badI = bytearray(encode_png(rgb))
+    badI[28] = 1                        # interlace byte in IHDR
+    with pytest.raises(ValueError):
+        decode_png(bytes(badI))
