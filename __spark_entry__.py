@@ -415,6 +415,89 @@ def q_mm_media_features(spark, sf):
             .select("media_id", "n_bytes", "width", "height", "payload_sha"))
 
 
+def q_txt_pii_scrub(spark, sf):
+    """PII redaction for training corpora (emails / IPv4s / international
+    phones -> typed placeholders), a standard pre-training cleanup pass.
+    PII is SYNTHESIZED deterministically per doc (the synthetic corpus
+    carries none) so the scrub is observable, then removed by
+    functions.text.pii_scrub_cols — pure JVM regexp_replace/regexp_count,
+    row-local, zero shuffle at any scale. Patterns are the Java/RE2-common
+    subset so the DuckDB oracle applies the identical regexes."""
+    from hadoopsearchengine_spark.functions.text import pii_scrub_cols
+    d = load(spark, sf, "documents")
+    dirty = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 415 "),
+        (F.col("doc_id") % 10000).cast("string"),
+        F.lit(" 550 from 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1"))
+    return d.select("doc_id", *pii_scrub_cols(dirty))
+
+
+def q_txt_line_dedup(spark, sf):
+    """Corpus-level duplicated-segment removal (the CCNet / Gopher
+    "discard lines duplicated across documents" pass): docs split into
+    non-overlapping 8-token chunks, a chunk is BOILERPLATE when it appears
+    in > 2 distinct documents, and each doc reports how much of it
+    survives. Shuffle shape: explode chunks -> groupBy(chunk) count with
+    map-side combine (one exchange over distinct chunks), the resulting
+    boilerplate list is corpus-small -> BROADCAST back onto the doc-local
+    chunk stream (no second big exchange), per-doc re-aggregation is
+    doc-local. At 100 TB the only full-stream exchange is the chunk
+    count."""
+    d = load(spark, sf, "documents")
+    toks = tokens_col(F.col("text"))
+    chunks = (d.select("doc_id", toks.alias("ts"))
+              .where(F.size("ts") >= 1)
+              .select(
+                  "doc_id",
+                  F.explode(F.transform(
+                      F.sequence(
+                          F.lit(0),
+                          F.floor((F.size("ts") - 1) / 8).cast("int")),
+                      lambda i: F.array_join(
+                          F.slice(F.col("ts"), i * 8 + 1, 8), " ")))
+                  .alias("chunk")))
+    common = (chunks.groupBy("chunk")
+              .agg(F.count_distinct("doc_id").alias("nd"))
+              .where(F.col("nd") > 2)
+              .select("chunk"))
+    kept = (chunks.join(F.broadcast(common).withColumn("_dup", F.lit(1)),
+                        "chunk", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_chunks"),
+                 F.sum(F.when(F.col("_dup").isNotNull(), 1)
+                       .otherwise(0)).alias("n_dropped")))
+    return kept.select(
+        "doc_id", "n_chunks", "n_dropped",
+        _trunc6((F.col("n_chunks") - F.col("n_dropped"))
+                / F.col("n_chunks")).alias("kept_frac"))
+
+
+def q_txt_decontaminate(spark, sf):
+    """Eval-set decontamination (the GPT-3/Llama report n-gram overlap
+    check): the first 13 tokens of each of the 5 lowest-id documents form
+    the probe set; any document whose token stream CONTAINS a probe
+    13-gram (token-boundary-safe substring over the space-joined stream)
+    is flagged (doc_id, probe_id). The probe set is tiny and BROADCAST;
+    the corpus side is one map-only scan — zero shuffle of the big side
+    at any scale."""
+    d = load(spark, sf, "documents")
+    toks = tokens_col(F.col("text"))
+    probes = (d.where(F.col("doc_id") < 5)
+              .select(F.col("doc_id").alias("probe_id"),
+                      F.array_join(F.slice(toks, 1, 13), " ").alias("probe"))
+              .where(F.size(toks) >= 13))
+    joined = d.select("doc_id",
+                      F.concat(F.lit(" "), F.array_join(toks, " "),
+                               F.lit(" ")).alias("stream"))
+    return (joined.join(F.broadcast(probes))
+            .where(F.col("stream").contains(
+                F.concat(F.lit(" "), F.col("probe"), F.lit(" "))))
+            .select("doc_id", "probe_id"))
+
+
 def q_txt_spell_suggest(spark, sf):
     """Spell check / did-you-mean (reference close-spellings tier,
     DyableRequest/DyableQuery/TextStringServer.h:118-192): deterministic
@@ -1043,6 +1126,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_media_features": q_mm_media_features,
         "mm_pixel_dedup": q_mm_pixel_dedup,
         "txt_spell_suggest": q_txt_spell_suggest,
+        "txt_pii_scrub": q_txt_pii_scrub,
+        "txt_line_dedup": q_txt_line_dedup,
+        "txt_decontaminate": q_txt_decontaminate,
         "stream_hourly_window": q_stream_hourly_window,
         "rel_rollup": q_rel_rollup,
         "rel_pivot": q_rel_pivot,
@@ -1689,6 +1775,72 @@ def oracle_sql() -> dict[str, str]:
                    CAST(w AS INT) AS width, CAST(h AS INT) AS height,
                    sha256(hx) AS payload_sha
             FROM payload"""
+    # txt_pii_scrub: identical dirty-text construction + the Java/RE2-common
+    # regexes from functions.text.PII_PATTERNS; DuckDB regexp_replace needs
+    # the explicit 'g' flag, counts via len(regexp_extract_all)
+    sql['txt_pii_scrub'] = r"""
+            WITH dirty AS (SELECT doc_id,
+                    text || ' contact user' || doc_id
+                         || '@example.com or +1 415 ' || (doc_id % 10000)
+                         || ' 550 from 10.' || (doc_id % 256) || '.0.1'
+                    AS t
+                FROM documents)
+            SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(t,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                    '<EMAIL>', 'g'),
+                    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                    '<IP>', 'g'),
+                    '\+[0-9][0-9 -]{6,14}[0-9]', '<PHONE>', 'g')
+                    AS clean_text,
+                CAST(len(regexp_extract_all(t,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                    AS BIGINT) AS n_email,
+                CAST(len(regexp_extract_all(t,
+                    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+                    AS BIGINT) AS n_ip,
+                CAST(len(regexp_extract_all(t,
+                    '\+[0-9][0-9 -]{6,14}[0-9]')) AS BIGINT) AS n_phone
+            FROM dirty"""
+    # txt_line_dedup: same non-overlapping 8-token chunking (1-based
+    # inclusive list slices), boilerplate = chunk in > 2 distinct docs
+    sql['txt_line_dedup'] = f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents
+                          WHERE len({_TOKS}) >= 1),
+            chunks AS (SELECT t.doc_id,
+                              array_to_string(t.ts[i.i*8+1 : i.i*8+8], ' ')
+                              AS chunk
+                       FROM toks t,
+                            LATERAL (SELECT unnest(generate_series(0,
+                                CAST(floor((len(t.ts) - 1) / 8.0) AS INT)))
+                                AS i) i),
+            common AS (SELECT chunk FROM chunks GROUP BY 1
+                       HAVING count(DISTINCT doc_id) > 2),
+            kept AS (SELECT c.doc_id,
+                            CAST(count(*) AS BIGINT) AS n_chunks,
+                            CAST(sum(CASE WHEN cm.chunk IS NOT NULL
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                            AS n_dropped
+                     FROM chunks c LEFT JOIN common cm USING (chunk)
+                     GROUP BY 1)
+            SELECT doc_id, n_chunks, n_dropped,
+                   floor(((n_chunks - n_dropped) * 1.0 / n_chunks)
+                         * 1000000.0) / 1000000.0 AS kept_frac
+            FROM kept"""
+    # txt_decontaminate: token-boundary-safe 13-gram probe containment over
+    # the space-joined token stream
+    sql['txt_decontaminate'] = f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            probes AS (SELECT doc_id AS probe_id,
+                              array_to_string(ts[1:13], ' ') AS probe
+                       FROM toks WHERE doc_id < 5 AND len(ts) >= 13),
+            streams AS (SELECT doc_id,
+                               ' ' || array_to_string(ts, ' ') || ' '
+                               AS stream
+                        FROM toks)
+            SELECT s.doc_id, p.probe_id
+            FROM streams s, probes p
+            WHERE contains(s.stream, ' ' || p.probe || ' ')"""
     # txt_spell_suggest: DuckDB has the same standard (ins/del/sub)
     # levenshtein as Spark's JVM expression, so the correction ranking
     # oracles exactly

@@ -112,3 +112,32 @@ def fingerprint_col(text: Column) -> Column:
     (exact-dup key robust to spacing)."""
     norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
     return F.md5(norm)
+
+
+# PII patterns shared by pii_scrub_cols and the DuckDB oracle: simple-regex
+# subset that means the same thing in Java regex and RE2 (character classes
+# and bounded repetition only — no lookaround, no backrefs). Applied in
+# list order: emails first (their local part may contain digits a later
+# pattern could chew into), then IPs, then international-format phones.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+     "<IP>"),
+    ("phone", r"\+[0-9][0-9 -]{6,14}[0-9]", "<PHONE>"),
+]
+
+
+def pii_scrub_cols(text: Column) -> list[Column]:
+    """[clean_text, n_email, n_ip, n_phone] — typed-placeholder PII
+    redaction for training corpora (emails / IPv4s / international-format
+    phones), entirely JVM regexp_replace/regexp_count (whole-stage
+    codegen, zero shuffle: scrubbing is row-local). Counts are taken
+    BEFORE any replacement so they are order-independent; replacements
+    cascade in PII_PATTERNS order."""
+    counts = [F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{n}")
+              for n, pat, _ in PII_PATTERNS]
+    clean = text
+    for _, pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    return [clean.alias("clean_text")] + counts
