@@ -89,6 +89,42 @@ def test_repetition_is_map_only(spark):
         assert marker not in plan, (marker, plan[:2000])
 
 
+def test_pipeline_ops_plan_shapes(spark):
+    """The r3 pipeline passes must carry the plans their docstrings claim:
+    txt_pii_scrub is pure row-local JVM regexp (no exchange, no Python);
+    txt_decontaminate broadcasts the probe set onto one map-only corpus
+    scan (a BroadcastHashJoin-family join, no shuffle of the corpus side,
+    no Python); txt_line_dedup broadcasts the boilerplate list back (its
+    only exchanges belong to the chunk-count aggregate + final per-doc
+    groupBy — the doc-side join must NOT be a shuffle join)."""
+    import __spark_entry__ as E
+    qs = E.queries()
+    plan = _plan(qs["txt_pii_scrub"](spark, SF))
+    for marker in ("Exchange", "BatchEvalPython", "ArrowEvalPython",
+                   "MapInPandas", "Join"):
+        assert marker not in plan, (marker, plan[:2000])
+    plan = _plan(qs["txt_decontaminate"](spark, SF))
+    assert "Broadcast" in plan
+    for marker in ("SortMergeJoin", "ShuffledHashJoin", "BatchEvalPython",
+                   "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, (marker, plan[:2000])
+    plan = _plan(qs["txt_line_dedup"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    for marker in ("SortMergeJoin", "ShuffledHashJoin"):
+        assert marker not in plan, (marker, plan[:2000])
+
+
+def test_spell_dictionary_not_shuffled_by_suggest(spark):
+    """spell_suggest_df: the qterm set is broadcast; the dictionary side of
+    the suggestion join must not go through a shuffle join (its own
+    df-aggregation exchange is expected and allowed)."""
+    import __spark_entry__ as E
+    plan = _plan(E.queries()["txt_spell_suggest"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    for marker in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert marker not in plan, (marker, plan[:2000])
+
+
 def test_wholestage_codegen_present(spark):
     import __spark_entry__ as E
     df = E.queries()["rel_tpch_q1"](spark, SF)
