@@ -512,10 +512,16 @@ def q_txt_spell_suggest(spark, sf):
     from hadoopsearchengine_spark.operators.spell import spell_suggest_df
 
     d = load(spark, sf, "documents")
+    # persisted: BOTH the top-20 qterm derivation and the candidate side of
+    # the suggestion join consume this aggregation — without the cache the
+    # corpus tokenize+distinct+groupBy pipeline would run twice (at 100 TB,
+    # a second full corpus pass; in a real deployment this is the already-
+    # materialized `terms` dictionary table)
     dict_df = (d.select("doc_id",
                         F.explode(tokens_col(F.col("text"))).alias("term"))
                .distinct()
-               .groupBy("term").agg(F.count("*").alias("df")))
+               .groupBy("term").agg(F.count("*").alias("df"))
+               .persist())
     top = (dict_df.where(F.length("term") >= 4)
            .orderBy(F.desc("df"), "term").limit(20)
            .select(F.concat(F.substring("term", 1, 1),
@@ -531,7 +537,7 @@ def q_mm_pixel_dedup(spark, sf):
     container chosen by doc_id % 3 — PPM, BMP, or PNG (filter-2 rows, so
     the inflate+unfilter path is exercised) — then decoded by the real
     pure-numpy codecs (kernel.imagex dispatch) and deduped by the sha256 of
-    the DECODED channel-0 bytes. Same pixels in different containers
+    ALL DECODED interleaved-RGB bytes. Same pixels in different containers
     collapse to one group; payload-byte hashing cannot do this. The DuckDB
     oracle re-derives the pixel digest from the generator formula —
     container-independent because PNG/BMP/PPM are all lossless — so the
@@ -1864,7 +1870,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT qterm, suggestion, dist, df, CAST(rk AS INT) AS rk
             FROM ranked WHERE rk <= 3"""
     # mm_pixel_dedup: the digest is over DECODED pixels, so the oracle is
-    # container-independent — recompute the channel-0 hex from the generator
+    # container-independent — recompute the full interleaved-RGB hex from the generator
     # formula per group g = doc_id % 50 and count/keep from documents alone
     sql['mm_pixel_dedup'] = """
             WITH grp AS (SELECT doc_id % 50 AS g,
@@ -1882,8 +1888,8 @@ def oracle_sql() -> dict[str, str]:
                                  AS y) y,
                         LATERAL (SELECT unnest(generate_series(0, d.w - 1))
                                  AS x) x),
-            body AS (SELECT g, string_agg(lpad(hex(v), 2, '0'), ''
-                                          ORDER BY y, x) AS hx
+            body AS (SELECT g, string_agg(repeat(lpad(hex(v), 2, '0'), 3),
+                                          '' ORDER BY y, x) AS hx
                      FROM px GROUP BY 1)
             SELECT sha256(b.hx) AS pix_sha, CAST(d.w AS INT) AS width,
                    CAST(d.h AS INT) AS height, d.n_copies, d.keeper_id

@@ -65,6 +65,9 @@ SCALE_PAGES = int(os.environ.get("SCALE_PAGES", "240000"))
 # 64 parts), so the fix is pure high-level gain, not low-level padding.
 SCALE_PARTS = int(os.environ.get(
     "SCALE_PARTS", str(max(4 * SCALE_HIGH, SCALE_PAGES // 3750))))
+# wall-clock ceiling for the whole scaling section (checked between
+# pairs; the first pair always completes)
+SCALE_BUDGET_SEC = int(os.environ.get("SCALE_BUDGET_SEC", "3000"))
 
 HEADLINE = [
     "rel_tpch_q1", "rel_hash_join", "rel_topk_per_group", "rel_merge_set",
@@ -279,8 +282,17 @@ def main():
               f"(median of {SCALE_REPS}, {sc_pages} pages) ==",
               file=sys.stderr)
         runs = {lo: [], hi: []}
-        # interleave levels so slow host-noise windows hit both levels alike
+        # interleave levels so slow host-noise windows hit both levels
+        # alike; a wall-clock budget guarantees a scaling record lands even
+        # if a degraded host window doubles every build (>=1 complete pair
+        # always finishes — the budget is only checked between pairs)
+        t_scale0 = time.time()
         for rep in range(SCALE_REPS):
+            if rep and time.time() - t_scale0 > SCALE_BUDGET_SEC:
+                print(f"  scaling budget ({SCALE_BUDGET_SEC}s) reached "
+                      f"after {rep} pairs — stopping early",
+                      file=sys.stderr)
+                break
             for c in (lo, hi):
                 r = build_in_subprocess(c, sc_dir,
                                         f"{work}/idx_s{c}_{rep}", iters=20,
@@ -288,6 +300,7 @@ def main():
                 runs[c].append(r)
                 print(f"  rep{rep} local[{c}]: {r['sec']:.1f}s",
                       file=sys.stderr)
+        n_pairs = len(runs[hi])
 
         def agg(level, pick, key=None):
             vals = sorted(
@@ -309,7 +322,7 @@ def main():
             for a, b in zip(runs[lo], runs[hi]))
         result["scaling"] = {
             "n_pages": sc_pages, "cores_low": lo, "cores_high": hi,
-            "reps": SCALE_REPS,
+            "reps": n_pairs,
             "cpu_pinned": bool(shutil.which("taskset")),
             "t_low_sec": round(t_lo, 2), "t_high_sec": round(t_hi, 2),
             "t_low_all": [round(r["sec"], 2) for r in runs[lo]],
@@ -318,22 +331,21 @@ def main():
             "docs_per_sec_high": round(tput_hi, 1),
             # HEADLINE: ratio of per-level BEST walls — the noise-floor
             # estimator. Exogenous tenant noise on this shared host only
-            # ever ADDS wall time; the 2-core level barely feels it (needs
-            # 2 idle cores: walls 620.8/621.3/629.3 s across 2 h of
-            # measurements, <1.5% spread) while the 8-core level is hit
-            # hard and asymmetrically (same job+config: 171.5 vs 335.4 s
-            # an hour apart). The minimum wall is therefore the closest
-            # observation of the machine's true capability at each level,
-            # and its ratio the least-biased estimate of the ENGINE's
-            # scaling; engine-side variance (GC, stragglers) stays inside
-            # the min. All raw walls and the per-pair medians are reported
-            # alongside, unfiltered.
+            # ever ADDS wall time, and adds it asymmetrically: the 8-core
+            # level (needs 8 idle cores) measured 171.5 vs 335.4 s for the
+            # same job+config an hour apart, the 2-core level 542-747 s
+            # across the day. The minimum wall is the closest observation
+            # of the machine's true capability at each level, and its
+            # ratio the least-biased estimate of the ENGINE's scaling;
+            # engine-side variance (GC, stragglers) stays inside the min.
+            # All raw walls and the per-pair medians are reported
+            # alongside, unfiltered (full rationale: BENCH/BASELINE.md).
             "efficiency": round(bt_lo / (factor * bt_hi), 3),
             "efficiency_level_medians": round(
                 tput_hi / (factor * tput_lo), 3),
             "efficiency_best": round(bt_lo / (factor * bt_hi), 3),
             "efficiency_pairs_all": pair_ratios,
-            "efficiency_pair_median": pair_ratios[(SCALE_REPS - 1) // 2],
+            "efficiency_pair_median": pair_ratios[(n_pairs - 1) // 2],
             "parallel_stages_low_sec": round(p_lo, 2),
             "parallel_stages_high_sec": round(p_hi, 2),
             "parallel_stages_efficiency": round(

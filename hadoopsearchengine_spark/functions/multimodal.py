@@ -131,7 +131,8 @@ PIXEL_SIG_SCHEMA = "media_id long, width int, height int, pix_sha string"
 
 def pixel_signatures(df: DataFrame, media_col: str, id_col: str) -> DataFrame:
     """Content-addressed signature of the DECODED image: (id, binary) ->
-    (id, width, height, sha256 of the row-major channel-0 pixel bytes).
+    (id, width, height, sha256 of ALL row-major interleaved RGB bytes —
+    full-pixel, so images differing in any channel never collide).
 
     The point is cross-FORMAT exact image dedup for a training-data
     pipeline: the same pixels stored as PPM, BMP or PNG hash identically
@@ -147,7 +148,7 @@ def pixel_signatures(df: DataFrame, media_col: str, id_col: str) -> DataFrame:
             for mid, payload in zip(pdf[id_col], pdf[media_col]):
                 img = imagex.decode_image(bytes(payload))
                 h, w = img.shape[0], img.shape[1]
-                hx = img[:, :, 0].tobytes().hex().upper()
+                hx = img.tobytes().hex().upper()
                 rows.append((int(mid), w, h,
                              hashlib.sha256(hx.encode()).hexdigest()))
             yield pd.DataFrame(

@@ -344,7 +344,20 @@ def _extend(v: int, s: int) -> int:
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JPEG bytes -> (h, w, 3) uint8 RGB. All tables come from the
-    stream's own DQT/DHT segments. Raises ValueError on non-baseline."""
+    stream's own DQT/DHT segments. Raises ValueError on non-baseline AND on
+    truncated/malformed streams — the multimodal fallback contract
+    (functions.multimodal._decode_one catches ValueError only)."""
+    try:
+        return _decode_jpeg(payload)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, AttributeError, TypeError,
+            struct.error) as e:
+        raise ValueError(
+            f"jpeg: malformed stream ({type(e).__name__})") from e
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     d = bytes(payload)
     if d[:2] != b"\xff\xd8":
         raise ValueError("not a jpeg")
@@ -359,6 +372,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             i += 1
             continue
         marker = d[i + 1]
+        if marker == 0xFF:          # spec-legal fill byte (T.81 B.1.1.2)
+            i += 1
+            continue
         i += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
@@ -464,7 +480,7 @@ def _decode_scan(data, comps, qt, huff, h, w, restart):
                             zz[k] = _extend(br.bits(s), s)
                             k += 1
                         coef = np.zeros(64)
-                        coef[ZIGZAG] = zz * q
+                        coef[ZIGZAG] = zz * q[ZIGZAG]
                         block = Tt @ coef.reshape(8, 8) @ _T
                         py = (my * c["v"] + vy) * 8
                         px = (mx * c["h"] + vx) * 8

@@ -102,7 +102,21 @@ def _unfilter(data: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
 
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes -> (h, w, 3) uint8 RGB (alpha dropped after gray/palette
-    expansion). Raises ValueError on interlaced or non-8-bit streams."""
+    expansion). Raises ValueError on interlaced or non-8-bit streams AND on
+    truncated/corrupt payloads (bad zlib stream, short chunks, out-of-range
+    palette indices) — the multimodal fallback contract catches ValueError
+    only."""
+    try:
+        return _decode_png(payload)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, TypeError, struct.error,
+            zlib.error) as e:
+        raise ValueError(
+            f"png: malformed stream ({type(e).__name__})") from e
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
     d = bytes(payload)
     if d[:8] != _SIG:
         raise ValueError("not a png")

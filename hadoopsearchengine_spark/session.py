@@ -35,9 +35,13 @@ _POOLS_XML = """<?xml version="1.0"?>
 
 
 def _pools_file() -> str:
-    path = os.path.join(tempfile.gettempdir(), "sfe_fair_pools.xml")
+    # mkstemp, not a fixed shared name: a fixed /tmp path collides across
+    # users (second user's open() fails -> FAIR pools silently degrade to
+    # weight 1) and is a symlink-overwrite hazard
     try:
-        with open(path, "w") as f:
+        fd, path = tempfile.mkstemp(prefix="sfe_fair_pools_",
+                                    suffix=".xml")
+        with os.fdopen(fd, "w") as f:
             f.write(_POOLS_XML)
     except OSError:
         return ""

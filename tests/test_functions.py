@@ -253,6 +253,30 @@ def test_multimodal_real_decode(spark):
         np.testing.assert_array_equal(t, imagex.resize_nearest(img, 4, 2))
 
 
+def test_pixel_signatures_cross_format_and_channels(spark):
+    """pixel_signatures: identical pixels in PPM/BMP/PNG containers share
+    one pix_sha (cross-format dedup), while images that differ ONLY in a
+    non-red channel must NOT collide (r3 review fix: the digest covers ALL
+    interleaved RGB bytes, not channel 0)."""
+    import numpy as np
+    from hadoopsearchengine_spark.functions.multimodal import (
+        pixel_signatures)
+    from hadoopsearchengine_spark.kernel import imagex
+    from hadoopsearchengine_spark.kernel.pngx import encode_png
+    img = _checker_img()
+    green = img.copy()
+    green[:, :, 1] = 255 - green[:, :, 1]       # same R, different G
+    df = spark.createDataFrame(
+        [(1, imagex.encode_ppm(img)), (2, imagex.encode_bmp(img)),
+         (3, encode_png(img, up_filter=True)),
+         (4, imagex.encode_ppm(green))],
+        "doc_id long, payload binary")
+    rows = {r["media_id"]: r["pix_sha"] for r in
+            pixel_signatures(df, "payload", "doc_id").collect()}
+    assert rows[1] == rows[2] == rows[3]
+    assert rows[4] != rows[1]
+
+
 def test_ivf_ann_recall(spark):
     from pyspark.sql import functions as F
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")

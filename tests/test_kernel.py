@@ -147,12 +147,25 @@ def test_jpeg_roundtrip_and_dispatch():
     img = np.stack(np.meshgrid(x, x), axis=-1).sum(-1) / 2
     img = np.stack([img, img[::-1], np.full_like(img, 128)],
                    axis=-1).astype(np.uint8)
-    for subsample, tol in ((False, 3.0), (True, 4.0)):
+    # tolerances tightened after the r3 dequant-order fix (zz * q[ZIGZAG]);
+    # measured 0.47 / 1.02 — a regression past these bounds means the
+    # dequant/IDCT path broke again
+    for subsample, tol in ((False, 0.8), (True, 1.5)):
         enc = encode_jpeg(img, quality=90, subsample=subsample)
         dec = decode_jpeg(enc)
         assert dec.shape == img.shape
         mae = np.abs(dec.astype(int) - img.astype(int)).mean()
         assert mae < tol, (subsample, mae)
+
+    # spec-legal 0xFF fill byte before a marker must be skipped (T.81
+    # B.1.1.2), and truncated/corrupt payloads must raise ValueError (the
+    # multimodal fallback contract), never IndexError/struct.error
+    enc = encode_jpeg(img, 85)
+    i85 = enc.find(b"\xff\xdb")
+    assert decode_jpeg(enc[:i85] + b"\xff" + enc[i85:]).shape == img.shape
+    for bad in (b"\xff\xd8\xff", enc[:40], enc[:i85 + 8]):
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)
 
     flat = np.full((24, 40, 3), 77, dtype=np.uint8)
     assert (decode_jpeg(encode_jpeg(flat, 75)) == flat).all()
@@ -228,6 +241,14 @@ def test_png_roundtrip_filters_and_dispatch():
     png += _chunk(b"IDAT", comp[:10]) + _chunk(b"IDAT", comp[10:])
     png += _chunk(b"IEND", b"")
     assert (decode_png(bytes(png)) == pal[idx]).all()
+
+    # truncated/corrupt payloads raise ValueError (fallback contract),
+    # never struct.error/zlib.error/IndexError
+    whole = encode_png(rgb)
+    for bad in (whole[:30], whole[:100] + b"garbage",
+                whole[:60] + whole[90:]):
+        with pytest.raises(ValueError):
+            decode_png(bad)
 
     bad16 = bytearray(encode_png(rgb))
     bad16[24] = 16                      # bit depth byte in IHDR
