@@ -3,7 +3,7 @@
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {<name>: sec, ...}, "sf": <sf>,
    "index": {...build throughput...}, "query_engine": {...p95...},
-   "scaling": {...local[8] vs local[32] efficiency...}}
+   "scaling": {...local[2] vs local[8] efficiency...}}
 
 Sections:
 - queries: headline __spark_entry__ operators at $SPARK_GRAFT_SF_DIR
