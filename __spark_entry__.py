@@ -512,16 +512,20 @@ def q_txt_spell_suggest(spark, sf):
     from hadoopsearchengine_spark.operators.spell import spell_suggest_df
 
     d = load(spark, sf, "documents")
-    # persisted: BOTH the top-20 qterm derivation and the candidate side of
-    # the suggestion join consume this aggregation — without the cache the
-    # corpus tokenize+distinct+groupBy pipeline would run twice (at 100 TB,
-    # a second full corpus pass; in a real deployment this is the already-
-    # materialized `terms` dictionary table)
+    # materialized ONCE via localCheckpoint: BOTH the top-20 qterm
+    # derivation and the candidate side of the suggestion join consume this
+    # aggregation — without it the corpus tokenize+distinct+groupBy pipeline
+    # would run twice (at 100 TB, a second full corpus pass; in a real
+    # deployment this is the already-materialized `terms` dictionary table).
+    # localCheckpoint instead of persist(): its blocks are released by the
+    # ContextCleaner when this DataFrame is garbage-collected, so repeated
+    # invocations (bench runs every headline op twice) don't accumulate
+    # session-lifetime cached corpus aggregations in executor storage.
     dict_df = (d.select("doc_id",
                         F.explode(tokens_col(F.col("text"))).alias("term"))
                .distinct()
                .groupBy("term").agg(F.count("*").alias("df"))
-               .persist())
+               .localCheckpoint(eager=True))
     top = (dict_df.where(F.length("term") >= 4)
            .orderBy(F.desc("df"), "term").limit(20)
            .select(F.concat(F.substring("term", 1, 1),

@@ -114,7 +114,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 
 
 def neardup_groups(pairs: DataFrame, docs: DataFrame, id_col: str,
-                   iters: int = 8) -> DataFrame:
+                   iters: int = 8,
+                   on_unconverged: str = "warn") -> DataFrame:
     """Resolve candidate near-dup PAIRS into GROUPS with one survivor each —
     the fuzzy analog of ``exact_dedup``'s keep_id contract.
 
@@ -136,24 +137,50 @@ def neardup_groups(pairs: DataFrame, docs: DataFrame, id_col: str,
     truncated with localCheckpoint. If component diameters ever grow (not a
     dedup shape), the O(log n)-round large-star/small-star alternation
     [Kiveris et al., Connected Components in MapReduce and Beyond] drops in
-    behind the same contract."""
+    behind the same contract.
+
+    ``on_unconverged`` turns the diameter<=iters assumption into a CHECK at
+    the cost of one cheap count on the (already-materialized) final round:
+    if the LAST round still lowered any label, convergence is unproven —
+    a component with diameter > iters would be silently split, each split
+    carrying its own keep=true survivor. "warn" (default) emits a
+    RuntimeWarning, "raise" raises ValueError, "ignore" skips the check.
+    The result itself is always the fixed-``iters`` fixpoint prefix (what
+    the SQL-unrolled oracle computes)."""
+    if on_unconverged not in ("warn", "raise", "ignore"):
+        raise ValueError("on_unconverged must be 'warn', 'raise' or 'ignore'")
     ids = docs.select(F.col(id_col).alias("doc_id"))
     fwd = pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
     rev = pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
     edges = fwd.unionByName(rev).repartition("v").persist()
     edges.count()
     labels = ids.withColumn("label", F.col("doc_id"))
-    for _ in range(iters):
+    for it in range(iters):
+        last = it == iters - 1
         nbr = (edges
                .join(labels.select(F.col("doc_id").alias("v"), "label"), "v")
                .groupBy("u").agg(F.min("label").alias("nbr_min"))
                .withColumnRenamed("u", "doc_id"))
-        labels = (labels.join(nbr, "doc_id", "left")
-                  .select("doc_id",
-                          F.least(F.col("label"),
-                                  F.coalesce("nbr_min", F.col("label")))
-                          .alias("label"))
-                  .localCheckpoint(eager=True))
+        stepped = (labels.join(nbr, "doc_id", "left")
+                   .select("doc_id", F.col("label").alias("_prev"),
+                           F.least(F.col("label"),
+                                   F.coalesce("nbr_min", F.col("label")))
+                           .alias("label"))
+                   .localCheckpoint(eager=True))
+        if last and on_unconverged != "ignore":
+            # checkpointed above, so this count re-reads cached blocks —
+            # no extra propagation round is paid for the guard
+            changed = stepped.filter(F.col("label") < F.col("_prev")).count()
+            if changed:
+                msg = (f"neardup_groups: final round {iters} still lowered "
+                       f"{changed} label(s) — convergence unproven, some "
+                       f"component diameter likely exceeds iters={iters}; "
+                       "raise iters or switch to large-star/small-star")
+                if on_unconverged == "raise":
+                    raise ValueError(msg)
+                import warnings
+                warnings.warn(msg, RuntimeWarning)
+        labels = stepped.select("doc_id", "label")
     edges.unpersist()
     return labels.select("doc_id", F.col("label").alias("group_id"),
                          (F.col("doc_id") == F.col("label")).alias("keep"))

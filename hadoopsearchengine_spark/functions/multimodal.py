@@ -129,7 +129,8 @@ def sample_frames(df: DataFrame, media_col: str, id_col: str,
 PIXEL_SIG_SCHEMA = "media_id long, width int, height int, pix_sha string"
 
 
-def pixel_signatures(df: DataFrame, media_col: str, id_col: str) -> DataFrame:
+def pixel_signatures(df: DataFrame, media_col: str, id_col: str,
+                     on_error: str = "null") -> DataFrame:
     """Content-addressed signature of the DECODED image: (id, binary) ->
     (id, width, height, sha256 of ALL row-major interleaved RGB bytes —
     full-pixel, so images differing in any channel never collide).
@@ -141,12 +142,29 @@ def pixel_signatures(df: DataFrame, media_col: str, id_col: str) -> DataFrame:
     Hashing the uppercase-hex encoding keeps the digest recomputable by a
     SQL oracle (DuckDB sha256 takes VARCHAR only; hex() is uppercase).
     mapInPandas keeps decode Arrow-batched and partition-parallel; output
-    is one short row per image regardless of pixel count."""
+    is one short row per image regardless of pixel count.
+
+    ``on_error`` governs undecodable payloads (corrupt bytes, formats the
+    pure-numpy codecs reject — video, progressive-JPEG tails, ...), so one
+    bad row cannot fail the whole job, matching the siblings' fake/skip
+    contract: "null" (default) emits the row with NULL width/height/pix_sha
+    (NULL signatures never join into a dedup group), "skip" drops the row,
+    "raise" keeps the old fail-fast behavior."""
+    if on_error not in ("null", "skip", "raise"):
+        raise ValueError("on_error must be 'null', 'skip' or 'raise'")
+
     def run(batches):
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[media_col]):
-                img = imagex.decode_image(bytes(payload))
+                try:
+                    img = imagex.decode_image(bytes(payload))
+                except ValueError:
+                    if on_error == "raise":
+                        raise
+                    if on_error == "null":
+                        rows.append((int(mid), None, None, None))
+                    continue
                 h, w = img.shape[0], img.shape[1]
                 hx = img.tobytes().hex().upper()
                 rows.append((int(mid), w, h,

@@ -208,8 +208,15 @@ def cosine_topk_ivf(vectors: DataFrame, queries: DataFrame, dim: int,
 
     ``seed`` is accepted for backward compatibility and ignored: the r2
     rewrite replaced seeded RNG init with the deterministic strided init
-    above (the old seeded behavior is not reproducible relationally)."""
-    del seed
+    above (the old seeded behavior is not reproducible relationally). A
+    DeprecationWarning is emitted when a caller passes one, since results
+    no longer vary with it."""
+    if seed is not None:
+        import warnings
+        warnings.warn(
+            "cosine_topk_ivf ignores `seed` since the deterministic "
+            "strided-init rewrite; remove the argument",
+            DeprecationWarning, stacklevel=2)
     import numpy as np
     import pandas as pd
 

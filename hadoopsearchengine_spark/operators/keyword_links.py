@@ -47,8 +47,12 @@ def keyword_links(hits: DataFrame, window_size: int = 3) -> DataFrame:
         for k in range(1, window_size)])
     pairs = (led
              .select("doc_id", "check_sum", F.explode(succ).alias("p"))
+             # null-SAFE duplicate skip: `p.cs != check_sum` would evaluate
+             # to NULL (drop the pair) whenever either document's checksum
+             # is NULL — a null checksum means "unknown content", not
+             # "duplicate of everything"
              .filter(F.col("p.dst").isNotNull()
-                     & (F.col("p.cs") != F.col("check_sum")))
+                     & ~F.col("p.cs").eqNullSafe(F.col("check_sum")))
              .select(F.col("doc_id").alias("src"),
                      F.col("p.dst").alias("dst"),
                      F.col("p.w").alias("weight")))

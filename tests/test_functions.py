@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from hadoopsearchengine_spark.functions import dedup, similarity
 from hadoopsearchengine_spark.functions.multimodal import (
-    extract_media_features)
+    extract_media_features, pixel_signatures)
 from hadoopsearchengine_spark.functions.text import tokens_col
 from hadoopsearchengine_spark.kernel.tokenize import tokenize
 
@@ -295,3 +295,59 @@ def test_ivf_ann_recall(spark):
     # determinism: second run identical
     ivf2 = similarity.cosine_topk_ivf(emb, q, dim=64, k=5).collect()
     assert sorted(map(tuple, ivf)) == sorted(map(tuple, ivf2))
+
+
+def test_neardup_groups_unconverged_guard(spark):
+    """A chain whose diameter exceeds iters trips the convergence guard
+    (r3 verdict №5): raise mode raises, warn mode warns AND still returns
+    the fixed-iters fixpoint prefix the SQL oracle computes."""
+    import warnings
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "a long, b long")  # diameter 7
+    with pytest.raises(ValueError, match="convergence unproven"):
+        dedup.neardup_groups(chain, docs, "doc_id", iters=2,
+                             on_unconverged="raise").collect()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        rows = {r["doc_id"]: r["group_id"] for r in
+                dedup.neardup_groups(chain, docs, "doc_id",
+                                     iters=2).collect()}
+    assert any("convergence unproven" in str(x.message) for x in w)
+    # 2 rounds of min-label propagation: node 7 reaches label 5, not 0
+    assert rows[7] == 5 and rows[0] == 0
+    # converged case stays silent
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ok = {r["doc_id"]: (r["group_id"], r["keep"]) for r in
+              dedup.neardup_groups(chain, docs, "doc_id", iters=8).collect()}
+    assert not [x for x in w if "convergence" in str(x.message)]
+    assert ok[7] == (0, False) and ok[0] == (0, True)
+
+
+def test_pixel_signatures_on_error_policy(spark):
+    """Undecodable payloads must not fail the job (ADVICE r3): default
+    emits the row with NULL signature, skip drops it, raise fails fast."""
+    from hadoopsearchengine_spark.kernel import imagex
+    img = _checker_img()
+    df = spark.createDataFrame(
+        [(1, imagex.encode_ppm(img)), (2, b"\xff\xd8garbage-not-an-image")],
+        "doc_id long, payload binary")
+    rows = {r["media_id"]: r for r in
+            pixel_signatures(df, "payload", "doc_id").collect()}
+    assert rows[1]["pix_sha"] is not None
+    assert rows[2]["pix_sha"] is None and rows[2]["width"] is None
+    skipped = pixel_signatures(df, "payload", "doc_id",
+                               on_error="skip").collect()
+    assert [r["media_id"] for r in skipped] == [1]
+    with pytest.raises(Exception):
+        pixel_signatures(df, "payload", "doc_id",
+                         on_error="raise").collect()
+
+
+def test_ivf_seed_deprecation(spark):
+    from pyspark.sql import functions as F
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 2)
+    with pytest.warns(DeprecationWarning, match="seed"):
+        similarity.cosine_topk_ivf(emb, q, dim=64, k=2, seed=7)
