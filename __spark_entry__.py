@@ -1093,6 +1093,40 @@ def q_graph_pagerank(spark, sf):
     return pr.select(F.col("doc_id").alias("node"),
                      F.round("pagerank", 8).alias("pagerank"))
 
+
+KWPR_ITERS = 3  # keyword-PageRank cycles (oracle unrolls the same count)
+
+
+def q_graph_keyword_pagerank(spark, sf):
+    """Keyword PulseRank END-TO-END — §2.2 row 11 composed from its two
+    green halves (reference CreateKeywordLinks.cpp:40-86 emitting the
+    keyword doc-doc links that DyablePuleRank then iterates over, second
+    PulseRank pass of DyableCommand.cpp): the keyword-link edges are
+    dedup-summed per (src, dst) — a doc pair can co-occur under several
+    keywords — per-src normalized, and run through operators.pagerank for
+    KWPR_ITERS cycles. The oracle replays the identical recurrence as
+    unrolled CTEs on top of the graph_keyword_links SQL.
+
+    Normalized edge weights are rounded to 9 decimals on BOTH sides so the
+    iterated float recurrence starts from bit-identical inputs; the final
+    rank rounds to 7 (one decimal looser than graph_pagerank's 8 — the
+    tf-idf-derived weights carry more accumulated ulps than 1/outdeg)."""
+    from pyspark.sql import Window as W
+    from hadoopsearchengine_spark.operators.pagerank import pagerank
+
+    edges = q_graph_keyword_links(spark, sf)
+    agg = edges.groupBy("src", "dst").agg(F.sum("weight").alias("w"))
+    links = agg.select(
+        "src", "dst",
+        F.round(F.col("w") / F.sum("w").over(W.partitionBy("src")), 9)
+         .alias("weight"))
+    nodes = (links.select(F.col("src").alias("doc_id"))
+             .union(links.select(F.col("dst").alias("doc_id"))).distinct())
+    n = nodes.count()
+    pr = pagerank(links, n, nodes, iterations=KWPR_ITERS)
+    return pr.select(F.col("doc_id").alias("node"),
+                     F.round("pagerank", 7).alias("pagerank"))
+
 # --------------------------------------------------------------------------
 # driver surface
 # --------------------------------------------------------------------------
@@ -1107,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # op changed since its last green check, plus a rotating slice of the
     # long-unchanged green ops; oldest byte-identical green entries sit last.
     return {
+        "graph_keyword_pagerank": q_graph_keyword_pagerank,
         "txt_repetition": q_txt_repetition,
         "txt_neardup_groups": q_txt_neardup_groups,
         "graph_keyword_links": q_graph_keyword_links,
@@ -1533,6 +1568,29 @@ def oracle_sql() -> dict[str, str]:
             pairs AS ({_kw_pairs})
             SELECT src, dst, weight FROM pairs
             UNION ALL SELECT dst AS src, src AS dst, weight FROM pairs"""
+    _kwpr_cycles = "".join(f""",
+            dang{i} AS (SELECT coalesce(sum(rank), 0.0) AS d FROM r{i}
+                        WHERE node NOT IN (SELECT src FROM e)),
+            c{i} AS (SELECT e.dst AS node, sum(e.weight * r.rank) AS contrib
+                     FROM e JOIN r{i} r ON e.src = r.node GROUP BY 1),
+            r{i + 1} AS (SELECT nodes.node,
+                       {1 - 0.85!r} / (SELECT n FROM consts)
+                       + 0.85 * (coalesce(c.contrib, 0.0)
+                                 + (SELECT d FROM dang{i})
+                                   / (SELECT n FROM consts)) AS rank
+                       FROM nodes LEFT JOIN c{i} c ON nodes.node = c.node)"""
+                           for i in range(KWPR_ITERS))
+    sql['graph_keyword_pagerank'] = f"""
+            WITH sym AS ({sql['graph_keyword_links']}),
+            agg AS (SELECT src, dst, sum(weight) AS w FROM sym GROUP BY 1, 2),
+            e AS (SELECT src, dst,
+                         round(w / sum(w) OVER (PARTITION BY src), 9) AS weight
+                  FROM agg),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            consts AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            r0 AS (SELECT node, 1.0 / (SELECT n FROM consts) AS rank
+                   FROM nodes){_kwpr_cycles}
+            SELECT node, round(rank, 7) AS pagerank FROM r{KWPR_ITERS}"""
     sql['txt_stem_suffixes'] = f"""WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
             tok AS (SELECT unnest(ts) AS t FROM toks),
             flagged AS (SELECT CASE WHEN t LIKE '%ations' AND len(t) - 6 >= 3 THEN 'ations' WHEN t LIKE '%ation' AND len(t) - 5 >= 3 THEN 'ation' WHEN t LIKE '%ings' AND len(t) - 4 >= 3 THEN 'ings' WHEN t LIKE '%ingly' AND len(t) - 5 >= 3 THEN 'ingly' WHEN t LIKE '%tion' AND len(t) - 4 >= 3 THEN 'tion' WHEN t LIKE '%ment' AND len(t) - 4 >= 3 THEN 'ment' WHEN t LIKE '%ness' AND len(t) - 4 >= 3 THEN 'ness' WHEN t LIKE '%able' AND len(t) - 4 >= 3 THEN 'able' WHEN t LIKE '%ible' AND len(t) - 4 >= 3 THEN 'ible' WHEN t LIKE '%edly' AND len(t) - 4 >= 3 THEN 'edly' WHEN t LIKE '%ing' AND len(t) - 3 >= 3 THEN 'ing' WHEN t LIKE '%est' AND len(t) - 3 >= 3 THEN 'est' WHEN t LIKE '%ers' AND len(t) - 3 >= 3 THEN 'ers' WHEN t LIKE '%ies' AND len(t) - 3 >= 3 THEN 'ies' WHEN t LIKE '%ly' AND len(t) - 2 >= 3 THEN 'ly' WHEN t LIKE '%ed' AND len(t) - 2 >= 3 THEN 'ed' WHEN t LIKE '%er' AND len(t) - 2 >= 3 THEN 'er' WHEN t LIKE '%es' AND len(t) - 2 >= 3 THEN 'es' WHEN t LIKE '%s' AND len(t) - 1 >= 3 THEN 's' ELSE NULL END AS suffix FROM tok)
