@@ -375,6 +375,25 @@ def q_sim_neardup(spark, sf):
     return pairs.select("a", "b", F.round("cosine", 6).alias("cosine"))
 
 
+SEMDEDUP_TH = 0.4    # same family as sim_neardup's exact threshold
+SEMDEDUP_ITERS = 6   # label-propagation rounds (mirrors NEARDUP_ITERS)
+
+
+def q_sim_semdedup(spark, sf):
+    """SemDeDup [Abbas et al. 2023]: embedding-cluster dedup end-to-end —
+    IVF cells (the deterministic strided-init Lloyd the sim_ann_ivf oracle
+    replays) -> intra-cell cosine >= threshold pairs (one GEMM tile per
+    cell) -> connected components -> one survivor per group
+    (dedup.neardup_groups contract: group_id = min reachable id, keep =
+    doc_id == group_id). The DuckDB oracle chains the Lloyd CTEs, an
+    intra-cell pair join, and the unrolled label rounds."""
+    emb = load(spark, sf, "embeddings")
+    pairs = similarity.semdedup_pairs(
+        emb, threshold=SEMDEDUP_TH, n_cells=16, kmeans_iters=5)
+    return dedup.neardup_groups(pairs.select("a", "b"), emb, "vec_id",
+                                iters=SEMDEDUP_ITERS)
+
+
 def q_mm_media_features(spark, sf):
     """Multimodal image pipeline with a REAL decoder (r1 was a rows-only
     stub): deterministic grayscale PPM payloads are generated per doc_id
@@ -1142,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # long-unchanged green ops; oldest byte-identical green entries sit last.
     return {
         "graph_keyword_pagerank": q_graph_keyword_pagerank,
+        "sim_semdedup": q_sim_semdedup,
         "txt_repetition": q_txt_repetition,
         "txt_neardup_groups": q_txt_neardup_groups,
         "graph_keyword_links": q_graph_keyword_links,
@@ -2073,7 +2093,10 @@ def oracle_sql() -> dict[str, str]:
                                     round(coalesce(n.v, p.v), 9) AS v
                              FROM cents{t} p LEFT JOIN avg{t} n
                                ON p.cell = n.cell AND p.i = n.i)""")
-    sql['sim_ann_ivf'] = f"""
+    # shared prelude: sample -> strided init -> unrolled Lloyd -> full-corpus
+    # cell assignment (vcell). sim_ann_ivf probes cells for top-k;
+    # sim_semdedup joins same-cell pairs for semantic dedup.
+    _ivf_prelude = f"""
             WITH srows AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
                                   AS rid, embedding
                            FROM (SELECT vec_id, embedding FROM embeddings
@@ -2099,7 +2122,8 @@ def oracle_sql() -> dict[str, str]:
                         SELECT vec_id, cell,
                                row_number() OVER (PARTITION BY vec_id
                                    ORDER BY d2 ASC, cell ASC) AS rk
-                        FROM vdist) WHERE rk = 1),
+                        FROM vdist) WHERE rk = 1)"""
+    sql['sim_ann_ivf'] = f"""{_ivf_prelude},
             probes AS (SELECT vec_id AS q_id, cell FROM (
                          SELECT vec_id, cell,
                                 row_number() OVER (PARTITION BY vec_id
@@ -2126,6 +2150,38 @@ def oracle_sql() -> dict[str, str]:
                        FROM dots)
             SELECT q_id, rank, n_id, round(c, 6) AS cosine
             FROM ranked WHERE rank <= {_ivf_k}"""
+    # sim_semdedup: same Lloyd cells, then intra-cell pairs above the cosine
+    # threshold feed the txt_neardup_groups label-round machinery (edges /
+    # lab0 / _neardup_label_rounds conventions)
+    # vc/edges are MATERIALIZED: DuckDB inlines CTEs per reference, and the
+    # label rounds reference their predecessor twice — without
+    # materialization the Lloyd+pair tree re-inlines 2^iters times (fd
+    # exhaustion at round 6)
+    sql['sim_semdedup'] = f"""{_ivf_prelude},
+            vc AS MATERIALIZED (SELECT vec_id, cell FROM vcell),
+            prs AS (SELECT x.vec_id AS a, y.vec_id AS b
+                    FROM vc x JOIN vc y
+                      ON x.cell = y.cell AND x.vec_id < y.vec_id),
+            pel AS (SELECT p.a, p.b,
+                           unnest(ea.embedding) AS qe,
+                           unnest(eb.embedding) AS ne
+                    FROM prs p
+                    JOIN embeddings ea ON ea.vec_id = p.a
+                    JOIN embeddings eb ON eb.vec_id = p.b),
+            pdots AS (SELECT a, b,
+                             sum(CAST(qe AS DOUBLE) * CAST(ne AS DOUBLE)) AS dot,
+                             sqrt(sum(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE))) AS nq,
+                             sqrt(sum(CAST(ne AS DOUBLE) * CAST(ne AS DOUBLE))) AS nn
+                      FROM pel GROUP BY 1, 2),
+            sp AS (SELECT a, b FROM pdots
+                   WHERE dot / (nq * nn) >= {SEMDEDUP_TH}),
+            edges AS MATERIALIZED (SELECT a AS u, b AS v FROM sp
+                      UNION ALL SELECT b AS u, a AS v FROM sp),
+            lab0 AS (SELECT vec_id AS doc_id, vec_id AS label
+                     FROM embeddings),
+            {_neardup_label_rounds(SEMDEDUP_ITERS)}
+            SELECT doc_id, label AS group_id, doc_id = label AS keep
+            FROM lab{SEMDEDUP_ITERS}"""
     # txt_repetition: same fused gram-stream shape in SQL
     sql['txt_repetition'] = f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),

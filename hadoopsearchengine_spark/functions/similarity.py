@@ -183,6 +183,35 @@ def cosine_pairs_blocked(vectors: DataFrame, threshold: float,
             .applyInPandas(gemm, "a long, b long, cosine double"))
 
 
+def train_cells_strided(vectors: DataFrame, n_cells: int,
+                        kmeans_iters: int, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> "np.ndarray":
+    """Deterministic mini-kmeans centroids (the IVF trainer, factored out so
+    semdedup_pairs shares the exact cells the sim_ann_ivf oracle replays):
+    sample = first 4096 vectors by ``id_col`` (TakeOrdered, not partition
+    order); init centroid c = sample row ``c * n_sample // n_cells``
+    (strided, no RNG); Lloyd with argmin ties -> lowest cell, empty cells
+    keep their previous centroid, centroids rounded to 9 decimals per
+    iteration so numpy pairwise summation and SQL aggregate order cannot
+    drift apart. At 100 TB the sample is a tiny TakeOrdered collect; only
+    the assignment (distributed, see callers) touches the full corpus."""
+    sample = np.array(
+        [np.asarray(r[vec_col], dtype=np.float64)
+         for r in vectors.select(id_col, vec_col)
+                         .orderBy(id_col).limit(4096).collect()])
+    stride_idx = [c * len(sample) // n_cells for c in range(n_cells)]
+    cents = sample[stride_idx].copy()
+    for _ in range(kmeans_iters):
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = np.round(cents, 9)
+    return cents
+
+
 def cosine_topk_ivf(vectors: DataFrame, queries: DataFrame, dim: int,
                     k: int = 5, n_cells: int = 16, n_probe: int = 4,
                     kmeans_iters: int = 5,
@@ -220,20 +249,8 @@ def cosine_topk_ivf(vectors: DataFrame, queries: DataFrame, dim: int,
     import numpy as np
     import pandas as pd
 
-    sample = np.array(
-        [np.asarray(r[vec_col], dtype=np.float64)
-         for r in vectors.select(id_col, vec_col)
-                         .orderBy(id_col).limit(4096).collect()])
-    stride_idx = [c * len(sample) // n_cells for c in range(n_cells)]
-    cents = sample[stride_idx].copy()
-    for _ in range(kmeans_iters):
-        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for c in range(n_cells):
-            members = sample[assign == c]
-            if len(members):
-                cents[c] = members.mean(axis=0)
-        cents = np.round(cents, 9)
+    cents = train_cells_strided(vectors, n_cells, kmeans_iters,
+                                id_col=id_col, vec_col=vec_col)
     spark = vectors.sparkSession
     b_cents = spark.sparkContext.broadcast(cents)
 
@@ -278,3 +295,64 @@ def cosine_topk_ivf(vectors: DataFrame, queries: DataFrame, dim: int,
             .filter(F.col("rank") <= k)
             .select("q_id", "rank", "n_id",
                     F.round("cosine", round_to).alias("cosine")))
+
+
+def semdedup_pairs(vectors: DataFrame, threshold: float,
+                   n_cells: int = 16, kmeans_iters: int = 5,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic near-dup candidate pairs [Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", arXiv:2303.09540]: k-means-cluster the embeddings, then
+    compare pairs only WITHIN each cluster — the quadratic work drops from
+    N^2 to sum over cells of |cell|^2, and the comparisons happen where the
+    duplicates actually are. Returns (a, b, cosine), a < b, cosine >=
+    threshold, restricted to same-cell pairs; feed into
+    dedup.neardup_groups for group resolution + survivor selection.
+
+    Shape: centroids are trained driver-side on the deterministic strided
+    sample (train_cells_strided — same cells the sim_ann_ivf DuckDB oracle
+    replays), assignment is one map-only Arrow pass, and each cell is scored
+    by ONE vectorized float64 GEMM tile after a single hash shuffle on
+    ``cell`` — the cosine_pairs_blocked kernel keyed by Voronoi cell instead
+    of hash block. No join node, no cartesian.
+
+    Scale: cell population ~ N / n_cells, so n_cells must grow with the
+    corpus (SemDeDup uses ~100k clusters for web scale) to keep tiles
+    GEMM-sized; a skewed giant cell would further split with the blocked
+    tile trick if a real corpus demanded it. Missed cross-cell duplicate
+    pairs are the documented SemDeDup approximation."""
+    import pandas as pd
+
+    cents = train_cells_strided(vectors, n_cells, kmeans_iters,
+                                id_col=id_col, vec_col=vec_col)
+    b_cents = vectors.sparkSession.sparkContext.broadcast(cents)
+
+    def assign(batches):
+        for pdf in batches:
+            vs = np.stack([np.asarray(v, dtype=np.float64)
+                           for v in pdf[vec_col]])
+            d2 = ((vs[:, None, :] - b_cents.value[None, :, :]) ** 2).sum(2)
+            out = pd.DataFrame({
+                "vid": pdf[id_col].to_numpy(),
+                "cell": d2.argmin(axis=1).astype("int32")})
+            out["vec"] = list(pdf[vec_col])
+            yield out
+
+    cells = vectors.mapInPandas(
+        assign, schema="vid long, cell int, vec array<float>")
+
+    def gemm(key, pdf: pd.DataFrame):
+        if len(pdf) < 2:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        ids = pdf["vid"].to_numpy()
+        A = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["vec"]])
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        C = A @ A.T
+        ii, jj = np.nonzero(C >= threshold)
+        a, b, c = ids[ii], ids[jj], C[ii, jj]
+        keep = a < b  # one orientation per unordered pair, drops self-pairs
+        return pd.DataFrame({"a": a[keep], "b": b[keep], "cosine": c[keep]})
+
+    return (cells.groupBy("cell")
+            .applyInPandas(gemm, "a long, b long, cosine double"))

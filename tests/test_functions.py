@@ -351,3 +351,36 @@ def test_ivf_seed_deprecation(spark):
     q = emb.filter(F.col("vec_id") < 2)
     with pytest.warns(DeprecationWarning, match="seed"):
         similarity.cosine_topk_ivf(emb, q, dim=64, k=2, seed=7)
+
+
+def test_semdedup_planted_duplicates(spark):
+    """Planted near-identical embedding pairs must land in one group with a
+    single survivor; a distant vector must survive as a singleton. Also:
+    semdedup pairs are a subset of the exact blocked all-pairs op (the
+    SemDeDup approximation only MISSES cross-cell pairs, never invents)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from hadoopsearchengine_spark.functions.dedup import neardup_groups
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    base = rng.standard_normal((20, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # a planted near-duplicate of every 5th vector (tiny perturbation)
+        if i % 5 == 0:
+            rows.append((100 + i, [float(x) for x in v + 1e-4]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = similarity.semdedup_pairs(emb, threshold=0.99, n_cells=4,
+                                      kmeans_iters=3)
+    groups = {r["doc_id"]: (r["group_id"], r["keep"])
+              for r in neardup_groups(pairs.select("a", "b"), emb,
+                                      "vec_id", iters=4).collect()}
+    for i in (0, 5, 10, 15):
+        assert groups[100 + i] == (i, False), (i, groups[100 + i])
+        assert groups[i] == (i, True)
+    assert groups[3] == (3, True)  # non-duplicated vector is a singleton
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    exact = {(r["a"], r["b"]) for r in similarity.cosine_pairs_blocked(
+        emb, threshold=0.99, n_blocks=4).collect()}
+    assert got <= exact and got, (got, exact)
