@@ -5,14 +5,15 @@ opaque ``binary`` columns with typed metadata, processed via Arrow-batched
 r2: the image decode is REAL for PPM (P6) and 24-bit BMP via the pure-numpy
 codec in ``kernel.imagex`` (no PIL/libav in this container — these formats
 need none). r3: baseline sequential JPEG is REAL too (``kernel.jpegx`` —
-pure-numpy Huffman + IDCT, tables from the stream's own DQT/DHT, 4:2:0 and
-restart intervals supported; round-trip pinned by pytest against the
-package's own encoder since no PIL exists here to make fixtures), and so is
-non-interlaced 8-bit PNG (``kernel.pngx`` — stdlib zlib + numpy unfilter,
-all five scanline filters, gray/palette/RGB/RGBA). Remaining
-fallback-to-stub formats when ``fake=True`` (raise when ``fake=False``):
-progressive JPEG, interlaced/16-bit PNG, and video — swap ``decode_image``
-for a PIL/libav call in a real deployment; nothing else changes.
+pure-numpy Huffman + IDCT, tables from the stream's own DQT/DHT, 4:2:0,
+restart intervals AND progressive SOF2 multi-scan streams supported since
+r4; round-trip pinned by pytest against the package's own encoders since no
+PIL exists here to make fixtures), and so is 8-bit PNG (``kernel.pngx`` —
+stdlib zlib + numpy unfilter, all five scanline filters,
+gray/palette/RGB/RGBA). Remaining fallback-to-stub formats when
+``fake=True`` (raise when ``fake=False``): arithmetic-coded/12-bit JPEG,
+interlaced/16-bit PNG, and video — swap ``decode_image`` for a PIL/libav
+call in a real deployment; nothing else changes.
 
 Batch shape: mapInPandas receives Arrow record batches
 (spark.sql.execution.arrow.maxRecordsPerBatch rows); each batch is processed

@@ -175,12 +175,48 @@ def test_jpeg_roundtrip_and_dispatch():
     enc = encode_jpeg(odd, quality=92, subsample=True)
     assert decode_image(enc).shape == odd.shape  # magic dispatch + crop
 
-    # progressive SOF2 must fail fast, not mis-decode
+    # a baseline stream relabeled SOF2 is MALFORMED (its single scan mixes
+    # DC and AC, which T.81 G.1 forbids in progressive) — fail fast
     bad = bytearray(encode_jpeg(flat, 75))
     sof = bytes(bad).find(b"\xff\xc0")
     bad[sof + 1] = 0xC2
     with pytest.raises(ValueError):
         decode_jpeg(bytes(bad))
+
+
+def test_jpeg_progressive_roundtrip():
+    """Progressive (SOF2) decode: the 10-scan libjpeg-style script must
+    reconstruct EXACTLY what baseline decode produces for the same image and
+    quality (identical coefficient pipeline), across EOB-run-heavy (flat),
+    ZRL-heavy (sparse spikes), refinement-dense (noise) and sub-MCU edge
+    shapes; grayscale single-component script too."""
+    from hadoopsearchengine_spark.kernel.imagex import decode_image
+    from hadoopsearchengine_spark.kernel.jpegx import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+
+    rng = np.random.default_rng(9)
+    flat = np.full((64, 64, 3), 137, np.uint8)
+    assert (decode_jpeg(encode_jpeg_progressive(flat, 75)) == flat).all()
+
+    spikes = np.full((48, 80, 3), 128, np.uint8)
+    ys = rng.integers(0, 48, 40)
+    xs = rng.integers(0, 80, 40)
+    spikes[ys, xs] = rng.integers(0, 256, (40, 3))
+    noise = rng.integers(0, 256, (33, 29, 3)).astype(np.uint8)
+    for img, q in [(spikes, 50), (noise, 30), (noise, 90)]:
+        assert np.array_equal(decode_jpeg(encode_jpeg_progressive(img, q)),
+                              decode_jpeg(encode_jpeg(img, q)))
+    for shape in [(1, 1, 3), (8, 1, 3), (1, 16, 3), (17, 3, 3)]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        assert np.array_equal(decode_jpeg(encode_jpeg_progressive(img, 75)),
+                              decode_jpeg(encode_jpeg(img, 75)))
+    gray = noise[:, :, 0]
+    got = decode_jpeg(encode_jpeg_progressive(gray, 85))
+    assert got.shape == (33, 29, 3)
+    assert np.abs(got[:, :, 0].astype(int) - gray.astype(int)).max() < 48
+    # dispatches through the shared magic-byte front door too
+    assert decode_image(encode_jpeg_progressive(noise, 75)).shape == \
+        noise.shape
 
 
 def test_png_roundtrip_filters_and_dispatch():
