@@ -10,10 +10,11 @@ restart intervals AND progressive SOF2 multi-scan streams supported since
 r4; round-trip pinned by pytest against the package's own encoders since no
 PIL exists here to make fixtures), and so is 8-bit PNG (``kernel.pngx`` —
 stdlib zlib + numpy unfilter, all five scanline filters,
-gray/palette/RGB/RGBA). Remaining fallback-to-stub formats when
-``fake=True`` (raise when ``fake=False``): arithmetic-coded/12-bit JPEG,
-interlaced/16-bit PNG, and video — swap ``decode_image`` for a PIL/libav
-call in a real deployment; nothing else changes.
+gray/palette/RGB/RGBA, and since r4 16-bit depth + Adam7 interlacing).
+Remaining fallback-to-stub formats when ``fake=True`` (raise when
+``fake=False``): arithmetic-coded/12-bit/hierarchical JPEG, sub-8-bit PNG,
+and video — swap ``decode_image`` for a PIL/libav call in a real
+deployment; nothing else changes.
 
 Batch shape: mapInPandas receives Arrow record batches
 (spark.sql.execution.arrow.maxRecordsPerBatch rows); each batch is processed
@@ -146,7 +147,7 @@ def pixel_signatures(df: DataFrame, media_col: str, id_col: str,
     is one short row per image regardless of pixel count.
 
     ``on_error`` governs undecodable payloads (corrupt bytes, formats the
-    pure-numpy codecs reject — video, progressive-JPEG tails, ...), so one
+    pure-numpy codecs reject — video, arithmetic-coded JPEG, ...), so one
     bad row cannot fail the whole job, matching the siblings' fake/skip
     contract: "null" (default) emits the row with NULL width/height/pix_sha
     (NULL signatures never join into a dedup group), "skip" drops the row,

@@ -286,6 +286,8 @@ def test_png_roundtrip_filters_and_dispatch():
         with pytest.raises(ValueError):
             decode_png(bad)
 
+    # IHDR relabeled 16-bit / interlaced without matching data: the IDAT
+    # length no longer fits the claimed layout -> ValueError, not garbage
     bad16 = bytearray(encode_png(rgb))
     bad16[24] = 16                      # bit depth byte in IHDR
     with pytest.raises(ValueError):
@@ -294,3 +296,38 @@ def test_png_roundtrip_filters_and_dispatch():
     badI[28] = 1                        # interlace byte in IHDR
     with pytest.raises(ValueError):
         decode_png(bytes(badI))
+    bad4 = bytearray(encode_png(rgb))
+    bad4[24] = 4                        # sub-8-bit depth stays out of scope
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad4))
+
+
+def test_png_adam7_and_16bit():
+    """Adam7 de-interlacing (independent per-pass filtering, all seven
+    grids) and 16-bit depth (byte-lane filters, high-byte downconversion)
+    round-trip losslessly for RGB/RGBA/gray at awkward shapes, in every
+    filter x interlace combination."""
+    from hadoopsearchengine_spark.kernel.pngx import decode_png, encode_png
+
+    rng = np.random.default_rng(5)
+    for shape in [(37, 51, 3), (37, 51, 4), (37, 51), (1, 1, 3),
+                  (3, 9, 3), (9, 3), (8, 8, 3), (2, 2, 3)]:
+        im = rng.integers(0, 256, shape).astype(np.uint8)
+        if im.ndim == 2:
+            want = np.repeat(im[:, :, None], 3, axis=2)
+        elif im.shape[2] == 4:
+            want = im[:, :, :3]
+        else:
+            want = im
+        for uf in (False, True):
+            got = decode_png(encode_png(im, up_filter=uf, interlace=True))
+            assert np.array_equal(got, want), (shape, uf)
+    im16 = rng.integers(0, 65536, (23, 17, 3)).astype(np.uint16)
+    for il in (False, True):
+        for uf in (False, True):
+            got = decode_png(encode_png(im16, up_filter=uf, interlace=il))
+            assert np.array_equal(got, (im16 >> 8).astype(np.uint8))
+    g16 = rng.integers(0, 65536, (11, 13)).astype(np.uint16)
+    got = decode_png(encode_png(g16, interlace=True))
+    assert np.array_equal(
+        got, np.repeat((g16 >> 8).astype(np.uint8)[:, :, None], 3, axis=2))
