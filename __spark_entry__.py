@@ -557,14 +557,17 @@ def q_mm_pixel_dedup(spark, sf):
     """Cross-FORMAT exact image dedup over decoded pixels: per doc_id a
     deterministic grayscale image keyed by g = doc_id % 50 (w = 12 + g%9,
     h = 12 + g%7, v(x,y) = (11g + 2x + 9y) mod 256) is encoded into a
-    container chosen by doc_id % 3 — PPM, BMP, or PNG (filter-2 rows, so
-    the inflate+unfilter path is exercised) — then decoded by the real
-    pure-numpy codecs (kernel.imagex dispatch) and deduped by the sha256 of
-    ALL DECODED interleaved-RGB bytes. Same pixels in different containers
-    collapse to one group; payload-byte hashing cannot do this. The DuckDB
-    oracle re-derives the pixel digest from the generator formula —
-    container-independent because PNG/BMP/PPM are all lossless — so the
-    whole decode path is value-exact end-to-end."""
+    container chosen by doc_id % 5 — PPM, BMP, PNG (filter-2 rows, so the
+    inflate+unfilter path is exercised), Adam7-INTERLACED PNG, or 16-bit
+    PNG (samples << 8, so the high-byte downconversion reconstructs the
+    exact pixels) — then decoded by the real pure-numpy codecs
+    (kernel.imagex dispatch) and deduped by the sha256 of ALL DECODED
+    interleaved-RGB bytes. Same pixels in different containers collapse to
+    one group; payload-byte hashing cannot do this. The DuckDB oracle
+    re-derives the pixel digest from the generator formula —
+    container-independent because every container here decodes losslessly —
+    so the whole decode path (incl. the r4 de-interlace and 16-bit paths)
+    is value-exact end-to-end."""
     from hadoopsearchengine_spark.functions.multimodal import (
         pixel_signatures)
     from hadoopsearchengine_spark.kernel import imagex
@@ -584,10 +587,12 @@ def q_mm_pixel_dedup(spark, sf):
                 v = ((g * 11 + 2 * np.arange(w)[None, :]
                       + 9 * np.arange(h)[:, None]) % 256).astype(np.uint8)
                 img = np.repeat(v[:, :, None], 3, axis=2)
-                fmt = did % 3
+                fmt = did % 5
                 payload = (imagex.encode_ppm(img) if fmt == 0 else
                            imagex.encode_bmp(img) if fmt == 1 else
-                           encode_png(img, up_filter=True))
+                           encode_png(img, up_filter=True) if fmt == 2 else
+                           encode_png(img, interlace=True) if fmt == 3 else
+                           encode_png((img.astype(np.uint16) << 8)))
                 rows.append((did, payload))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
