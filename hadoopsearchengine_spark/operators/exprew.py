@@ -87,5 +87,8 @@ def expected_reward(candidates: DataFrame, links: DataFrame,
     win = W.orderBy(F.col("trav_prob").desc(), F.col("doc_id").asc())
     ranked = (fin.filter(~F.col("recurrent"))
               .withColumn("rank", F.row_number().over(win)))
-    return (fin.join(ranked.select("doc_id", "rank"), "doc_id", "left")
+    # checkpointed inputs carry no stats, so hint the (candidate-sized)
+    # rank side explicitly rather than letting it fall to a sort-merge join
+    return (fin.join(F.broadcast(ranked.select("doc_id", "rank")),
+                     "doc_id", "left")
             .select("doc_id", "trav_prob", "recurrent", "rank"))

@@ -144,3 +144,36 @@ def test_filter_pushdown_on_source_tables(spark):
     assert "l_shipdate" in pushed
     read_schema = plan.split("ReadSchema")[1][:300]
     assert "l_extendedprice" not in read_schema
+
+
+def test_r4_ops_plan_shapes(spark):
+    """Round-4 plan claims: sim_semdedup's pair generation must be a
+    grouped GEMM over ONE hash shuffle on cell — no join node of any kind
+    feeding the pair stage (the q_sim_semdedup composite then feeds
+    neardup_groups, whose per-round joins are expected);
+    graph_expected_reward's candidate restriction must be broadcast joins
+    (the candidate set is query-sized) with no cartesian."""
+    from pyspark.sql import functions as F
+    from hadoopsearchengine_spark.functions.similarity import semdedup_pairs
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(semdedup_pairs(emb, threshold=0.4, n_cells=4,
+                                kmeans_iters=2))
+    for marker in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                   "SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert marker not in plan, (marker, plan[:2000])
+    assert "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan
+
+    # the iterated walk localCheckpoints per cycle, so audit the candidate
+    # restriction (the scale-relevant joins) on the edge stage directly,
+    # and the final rank attach on the returned frame
+    from hadoopsearchengine_spark.operators.exprew import expected_reward
+    import __spark_entry__ as E
+    cand = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    links = spark.createDataFrame([(i, i + 1, 1.0) for i in range(7)],
+                                  "src long, dst long, weight double")
+    out = expected_reward(cand, links, iterations=1)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan          # rank attach is broadcast
+    assert "CartesianProduct" not in plan
+    plan = _plan(E.queries()["graph_expected_reward"](spark, SF))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
