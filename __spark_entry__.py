@@ -281,6 +281,10 @@ BM25_QUERY_TERMS = ["merge", "shuffle", "spark"]
 def q_txt_bm25_topk(spark, sf):
     """BM25 top-10 over the documents table for a fixed query (k1=1.2,
     b=0.75, Lucene idf) — the flagship scoring contract, SQL-verifiable."""
+    return _bm25_topk(spark, sf, 10)
+
+
+def _bm25_topk(spark, sf, k):
     d = load(spark, sf, "documents")
     per_doc = (d.select("doc_id",
                         F.explode(tokens_col(F.col("text"))).alias("token"))
@@ -302,7 +306,7 @@ def q_txt_bm25_topk(spark, sf):
     return (scored.groupBy("doc_id")
             .agg(F.round(F.sum("contrib"), 6).alias("score"))
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-            .limit(10))
+            .limit(k))
 
 
 BM25_BATCH_QUERIES = [  # (query_id, terms) — the bulk-evaluation fixture
@@ -1152,8 +1156,9 @@ def q_graph_keyword_pagerank(spark, sf):
                      F.round("pagerank", 7).alias("pagerank"))
 
 
-EXPREW_ITERS = 5    # entry-op cycles (operator default is the ref's 25)
-EXPREW_TH = 0.15    # recurrence threshold scaled to a ~10-candidate walk
+EXPREW_ITERS = 5     # entry-op cycles (operator default is the ref's 25)
+EXPREW_CAND_K = 50   # candidate pool: top-50 keeps the subgraph non-trivial
+EXPREW_TH = 0.15     # recurrent above ~7x the mean stationary mass
 
 
 def q_graph_expected_reward(spark, sf):
@@ -1167,7 +1172,7 @@ def q_graph_expected_reward(spark, sf):
     bm25 + keyword-links SQL."""
     from hadoopsearchengine_spark.operators.exprew import expected_reward
 
-    cands = q_txt_bm25_topk(spark, sf)
+    cands = _bm25_topk(spark, sf, EXPREW_CAND_K)
     edges = q_graph_keyword_links(spark, sf)
     return expected_reward(cands, edges, iterations=EXPREW_ITERS,
                            threshold=EXPREW_TH)
@@ -2268,8 +2273,11 @@ def oracle_sql() -> dict[str, str]:
                                 p / (SELECT sum(p) FROM q{i}) AS p
                          FROM q{i})"""
                         for i in range(EXPREW_ITERS))
+    _xr_cand = sql['txt_bm25_topk'].replace(
+        "LIMIT 10", f"LIMIT {EXPREW_CAND_K}")
+    assert _xr_cand != sql['txt_bm25_topk']
     sql['graph_expected_reward'] = f"""
-            WITH cand AS MATERIALIZED ({sql['txt_bm25_topk']}),
+            WITH cand AS MATERIALIZED ({_xr_cand}),
             sym AS MATERIALIZED ({sql['graph_keyword_links']}),
             ce AS (SELECT s.src, s.dst, sum(s.weight) AS w FROM sym s
                    JOIN cand a ON s.src = a.doc_id

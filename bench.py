@@ -87,6 +87,8 @@ HEADLINE = [
     "txt_bm25_batch",
     # r3 additions
     "txt_neardup_groups", "txt_spell_suggest",
+    # r4 additions: composed keyword PulseRank, SemDeDup, ExpRew re-rank
+    "graph_keyword_pagerank", "sim_semdedup", "graph_expected_reward",
 ]
 
 BUILD_SNIPPET = """
