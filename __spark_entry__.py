@@ -1590,9 +1590,11 @@ def oracle_sql() -> dict[str, str]:
         f"lead(keyword_score, {k}) OVER w AS w{k}, "
         f"lead(check_sum, {k}) OVER w AS c{k}"
         for k in range(1, KWLINK_WINDOW))
+    # IS DISTINCT FROM mirrors the operator's null-SAFE ~eqNullSafe skip: a
+    # NULL checksum means "unknown content", never "duplicate of everything"
     _kw_pairs = " UNION ALL ".join(
         f"SELECT doc_id AS src, d{k} AS dst, w{k} AS weight FROM led "
-        f"WHERE d{k} IS NOT NULL AND c{k} <> check_sum"
+        f"WHERE d{k} IS NOT NULL AND c{k} IS DISTINCT FROM check_sum"
         for k in range(1, KWLINK_WINDOW))
     sql['graph_keyword_links'] = f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),

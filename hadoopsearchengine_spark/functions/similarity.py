@@ -111,6 +111,23 @@ def cosine_topk_lsh(vectors: DataFrame, queries: DataFrame, dim: int,
                     F.round("cosine", round_to).alias("cosine")))
 
 
+def _tile_threshold_pairs(ids_a, A, ids_b, B, threshold, both_orders):
+    """One GEMM tile of the pair join: rows of A/B are pre-normalized;
+    returns (a, b, cosine) with each unordered pair once, a < b.
+    ``both_orders``: the tile contains every pair in BOTH orientations
+    (self/diagonal tiles) — keep a < b; otherwise each pair appears once in
+    arbitrary id order — normalize with min/max. Shared by
+    cosine_pairs_blocked and semdedup_pairs so threshold/dedup semantics
+    cannot drift apart."""
+    C = A @ B.T
+    ii, jj = np.nonzero(C >= threshold)
+    a, b, c = ids_a[ii], ids_b[jj], C[ii, jj]
+    if both_orders:
+        keep = a < b                                  # also drops self-pairs
+        return a[keep], b[keep], c[keep]
+    return np.minimum(a, b), np.maximum(a, b), c
+
+
 def cosine_pairs_blocked(vectors: DataFrame, threshold: float,
                          n_blocks: int = 8, id_col: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:
@@ -164,17 +181,10 @@ def cosine_pairs_blocked(vectors: DataFrame, threshold: float,
         B = np.stack([np.asarray(x, dtype=np.float64) for x in rpdf["vec"]])
         A /= np.linalg.norm(A, axis=1, keepdims=True)
         B /= np.linalg.norm(B, axis=1, keepdims=True)
-        C = A @ B.T
-        ii, jj = np.nonzero(C >= threshold)
-        a, b, c = lids[ii], rids[jj], C[ii, jj]
-        if int(key[0]) % (n + 1) == 0:
-            # diagonal tile (bi == bj): both orders + self-pairs present
-            keep = a < b
-            a, b, c = a[keep], b[keep], c[keep]
-        else:
-            # off-diagonal tile: each unordered pair appears once, in
-            # arbitrary id order — normalize to a < b
-            a, b = np.minimum(a, b), np.maximum(a, b)
+        # diagonal tile (bi == bj): both orders + self-pairs present
+        a, b, c = _tile_threshold_pairs(
+            lids, A, rids, B, threshold,
+            both_orders=int(key[0]) % (n + 1) == 0)
         # raw cosine out — callers round (F.round, matching the SQL oracle's
         # rounding semantics rather than numpy's round-half-even)
         return pd.DataFrame({"a": a, "b": b, "cosine": c})
@@ -348,11 +358,9 @@ def semdedup_pairs(vectors: DataFrame, threshold: float,
         ids = pdf["vid"].to_numpy()
         A = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["vec"]])
         A /= np.linalg.norm(A, axis=1, keepdims=True)
-        C = A @ A.T
-        ii, jj = np.nonzero(C >= threshold)
-        a, b, c = ids[ii], ids[jj], C[ii, jj]
-        keep = a < b  # one orientation per unordered pair, drops self-pairs
-        return pd.DataFrame({"a": a[keep], "b": b[keep], "cosine": c[keep]})
+        a, b, c = _tile_threshold_pairs(ids, A, ids, A, threshold,
+                                        both_orders=True)
+        return pd.DataFrame({"a": a, "b": b, "cosine": c})
 
     return (cells.groupBy("cell")
             .applyInPandas(gemm, "a long, b long, cosine double"))

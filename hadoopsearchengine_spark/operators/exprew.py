@@ -53,7 +53,6 @@ def expected_reward(candidates: DataFrame, links: DataFrame,
     ROUNDED trav_prob so the threshold/tiebreak comparisons are
     engine-consistent; recurrent docs carry rank NULL (they are removed
     from the result set the reference would return)."""
-    spark = candidates.sparkSession
     cand = candidates.select("doc_id").distinct()
     e = (links
          .join(F.broadcast(cand.withColumnRenamed("doc_id", "src")), "src")
@@ -80,6 +79,10 @@ def expected_reward(candidates: DataFrame, links: DataFrame,
         p = (bumped.crossJoin(F.broadcast(tot))
              .select("doc_id", (F.col("p") / F.col("s")).alias("p"))
              .localCheckpoint())
+    # p is checkpointed — the edge cache has no consumers left; release it
+    # so repeated invocations don't accumulate session-lifetime cache
+    # entries (the q_txt_spell_suggest leak pattern)
+    e.unpersist()
     fin = p.select("doc_id", F.round("p", round_to).alias("trav_prob"))
     fin = fin.withColumn("recurrent", F.col("trav_prob") > threshold)
     # the candidate set is query-sized: a single-partition rank window here

@@ -84,8 +84,12 @@ class ShardedQueryEngine:
         if not dedup:
             order = order[:k]
             return [(int(uniq[i]), float(tot[i])) for i in order]
+        # dedup over the same 4k+8 over-fetch window the single engine
+        # uses — NOT the full exhaustive ranking — so the two paths return
+        # identical results even when more than 4k+8 checksum-identical
+        # docs outrank the distinct ones
         out, seen = [], set()
-        for i in order:
+        for i in order[:4 * k + 8]:
             fp = int(self.text_fp[uniq[i]])
             if fp in seen:
                 continue

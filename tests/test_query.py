@@ -351,9 +351,13 @@ def test_range_sweep_matches_masked_reference_at_20k_blocks():
     t_begin, t_end = np.array(t_begin), np.array(t_end)
     blk_ms = rng.random(len(blk_min))
 
-    t0 = time.time()
-    bounds, ub = sweep_range_bounds(blk_min, blk_max, blk_ms)
-    sweep_sec = time.time() - t0
+    # min of 3 runs: a single cold measurement can eat a GC pause or
+    # noisy-neighbor stall and flake the superlinearity assertion below
+    sweep_sec = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        bounds, ub = sweep_range_bounds(blk_min, blk_max, blk_ms)
+        sweep_sec = min(sweep_sec, time.time() - t0)
 
     # O(B²) reference on a sample of ranges (all 40k would take minutes —
     # exactly the point)
