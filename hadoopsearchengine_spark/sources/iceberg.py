@@ -50,16 +50,248 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 
 def read_pages(spark: SparkSession, ref: str) -> DataFrame:
-    """Load the pages corpus from ``iceberg:<table>`` / ``parquet:<path>`` /
-    a bare parquet path."""
+    """Load the pages corpus from ``iceberg:<table-or-path>`` /
+    ``parquet:<path>`` / a bare parquet path.
+
+    ``iceberg:`` resolution order: the iceberg-spark-runtime jar when
+    present (full Iceberg semantics); otherwise, if the ref is a table
+    DIRECTORY (hadoop-catalog layout with ``metadata/``), the pure-python
+    metadata reader below — real version-hint -> metadata.json -> Avro
+    manifest-list -> Avro manifests -> parquet planning, no jars needed."""
     if ref.startswith("iceberg:"):
         table = ref[len("iceberg:"):]
-        if not iceberg_available(spark):
-            raise RuntimeError(
-                "iceberg-spark-runtime is not on the Spark classpath; add "
-                "the jar + a catalog conf (see ICEBERG_CATALOG_CONF) or "
-                f"point at parquet instead (got {ref!r})")
-        return spark.read.format("iceberg").load(table)
+        if iceberg_available(spark):
+            return spark.read.format("iceberg").load(table)
+        import os
+        if os.path.isdir(os.path.join(table, "metadata")):
+            return read_iceberg_table(spark, table)
+        raise RuntimeError(
+            "iceberg-spark-runtime is not on the Spark classpath and "
+            f"{table!r} is not a hadoop-catalog table directory; add the "
+            "jar + a catalog conf (see ICEBERG_CATALOG_CONF), pass a "
+            "table path, or point at parquet instead")
     if ref.startswith("parquet:"):
         ref = ref[len("parquet:"):]
     return spark.read.parquet(ref)
+
+
+# ---------------------------------------------------------------------------
+# Pure-python Iceberg v2 metadata layer (hadoop catalog, unpartitioned,
+# append-only). The Iceberg table format is a PUBLIC spec
+# (https://iceberg.apache.org/spec/): JSON table metadata + Avro manifest
+# lists/manifests over parquet data files. Only the Avro layer needs code
+# (kernel/avrox.py); everything else is JSON. Scale note: manifest reading
+# is DRIVER-side by design — that is exactly where Spark's own Iceberg
+# DataSource does its scan planning — and the data files still stream
+# through Spark's parquet reader with pushdown/pruning intact.
+#
+# Subset honesty: v2, unpartitioned specs, data manifests only (no
+# position/equality deletes), null+deflate Avro codecs on read, null on
+# write. A jar-equipped cluster should prefer the native path (read_pages
+# tries it first); this layer makes the north rule's input format WORK in
+# jar-less environments and pins the wire format with round-trip tests.
+# ---------------------------------------------------------------------------
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_data_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_data_files_count", "type": "int",
+         "field-id": 505},
+        {"name": "deleted_data_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ]}
+
+_MANIFEST_SCHEMA = {
+    "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": None,
+         "field-id": 1},
+        {"name": "sequence_number", "type": ["null", "long"],
+         "default": None, "field-id": 3},
+        {"name": "file_sequence_number", "type": ["null", "long"],
+         "default": None, "field-id": 4},
+        {"name": "data_file", "field-id": 2, "type": {
+            "type": "record", "name": "r2", "fields": [
+                {"name": "content", "type": "int", "field-id": 134},
+                {"name": "file_path", "type": "string", "field-id": 100},
+                {"name": "file_format", "type": "string", "field-id": 101},
+                {"name": "partition", "field-id": 102, "type": {
+                    "type": "record", "name": "r102", "fields": []}},
+                {"name": "record_count", "type": "long", "field-id": 103},
+                {"name": "file_size_in_bytes", "type": "long",
+                 "field-id": 104},
+            ]}},
+    ]}
+
+_ICEBERG_TYPES = {  # Spark simpleString -> Iceberg primitive type
+    "string": "string", "long": "long", "bigint": "long", "int": "int",
+    "integer": "int", "double": "double", "float": "float",
+    "boolean": "boolean", "binary": "binary", "date": "date",
+    "timestamp": "timestamptz", "timestamp_ntz": "timestamp",
+}
+
+
+def _strip_scheme(p: str) -> str:
+    return p[len("file:"):] if p.startswith("file:") else p
+
+
+def write_iceberg_table(df: DataFrame, table_dir: str) -> dict:
+    """Materialize ``df`` as an Iceberg v2 hadoop-catalog table at
+    ``table_dir`` (data/ parquet files + metadata/ JSON, Avro manifest +
+    manifest list, version-hint). Unpartitioned, single append snapshot.
+    Returns a summary dict (paths + counts)."""
+    import glob
+    import json
+    import os
+    import time
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from ..kernel.avrox import write_ocf
+
+    data_dir = os.path.join(table_dir, "data")
+    meta_dir = os.path.join(table_dir, "metadata")
+    df.write.mode("overwrite").parquet(data_dir)
+    os.makedirs(meta_dir, exist_ok=True)
+
+    files = sorted(glob.glob(os.path.join(data_dir, "*.parquet")))
+    entries, total_rows = [], 0
+    snapshot_id = 1
+    for p in files:
+        n = pq.ParquetFile(p).metadata.num_rows
+        total_rows += n
+        entries.append({
+            "status": 1,                              # ADDED
+            "snapshot_id": snapshot_id,
+            "sequence_number": 1,
+            "file_sequence_number": 1,
+            "data_file": {
+                "content": 0,                         # DATA
+                "file_path": os.path.abspath(p),
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(p),
+            }})
+    manifest_path = os.path.join(meta_dir, "manifest-1.avro")
+    with open(manifest_path, "wb") as f:
+        f.write(write_ocf(_MANIFEST_SCHEMA, entries))
+    mlist_path = os.path.join(meta_dir, "snap-1-manifest-list.avro")
+    with open(mlist_path, "wb") as f:
+        f.write(write_ocf(_MANIFEST_LIST_SCHEMA, [{
+            "manifest_path": os.path.abspath(manifest_path),
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": 1,
+            "min_sequence_number": 1,
+            "added_snapshot_id": snapshot_id,
+            "added_data_files_count": len(entries),
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "added_rows_count": total_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }]))
+
+    fields = []
+    for i, sf in enumerate(df.schema.fields):
+        t = _ICEBERG_TYPES.get(sf.dataType.simpleString())
+        if t is None:
+            raise ValueError(
+                f"iceberg writer: unsupported type {sf.dataType}")
+        fields.append({"id": i + 1, "name": sf.name,
+                       "required": not sf.nullable, "type": t})
+    meta = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL,
+                                     os.path.abspath(table_dir))),
+        "location": os.path.abspath(table_dir),
+        "last-sequence-number": 1,
+        "last-updated-ms": int(time.time() * 1000),
+        "last-column-id": len(fields),
+        "current-schema-id": 0,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": fields}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": snapshot_id,
+        "snapshots": [{
+            "snapshot-id": snapshot_id,
+            "sequence-number": 1,
+            "timestamp-ms": int(time.time() * 1000),
+            "manifest-list": os.path.abspath(mlist_path),
+            "summary": {"operation": "append"},
+            "schema-id": 0,
+        }],
+        "refs": {"main": {"snapshot-id": snapshot_id, "type": "branch"}},
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write("1")
+    return {"table_dir": table_dir, "data_files": len(entries),
+            "rows": total_rows, "manifest": manifest_path,
+            "manifest_list": mlist_path}
+
+
+def iceberg_data_files(table_dir: str) -> list[str]:
+    """Resolve the CURRENT snapshot's live data-file paths through the real
+    metadata tree: version-hint -> vN.metadata.json -> manifest list (Avro)
+    -> data manifests (Avro) -> file_path of non-deleted DATA entries."""
+    import json
+    import os
+
+    from ..kernel.avrox import read_ocf
+
+    meta_dir = os.path.join(table_dir, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        version = int(f.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
+        meta = json.load(f)
+    if meta.get("format-version") != 2:
+        raise ValueError("iceberg: only format-version 2 supported")
+    snap_id = meta["current-snapshot-id"]
+    snap = next(s for s in meta["snapshots"]
+                if s["snapshot-id"] == snap_id)
+    with open(_strip_scheme(snap["manifest-list"]), "rb") as f:
+        _, manifests = read_ocf(f.read())
+    paths = []
+    for m in manifests:
+        if m.get("content", 0) != 0:                  # delete manifests
+            raise ValueError("iceberg: delete manifests not supported")
+        with open(_strip_scheme(m["manifest_path"]), "rb") as f:
+            _, entries = read_ocf(f.read())
+        for e in entries:
+            if e["status"] == 2:                      # DELETED
+                continue
+            d = e["data_file"]
+            if d.get("content", 0) != 0:
+                raise ValueError("iceberg: delete files not supported")
+            if d["file_format"].upper() != "PARQUET":
+                raise ValueError(
+                    f"iceberg: unsupported file format {d['file_format']}")
+            paths.append(_strip_scheme(d["file_path"]))
+    return paths
+
+
+def read_iceberg_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Iceberg v2 table directory -> DataFrame, without the runtime jar:
+    python resolves the metadata tree to the live parquet file list, Spark
+    scans them (pushdown/pruning intact)."""
+    paths = iceberg_data_files(table_dir)
+    if not paths:
+        raise ValueError(f"iceberg: table {table_dir!r} has no data files")
+    return spark.read.parquet(*paths)

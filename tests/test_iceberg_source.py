@@ -32,3 +32,117 @@ def test_catalog_conf_shape():
     assert conf["spark.sql.catalog.cat"].endswith("SparkCatalog")
     assert conf["spark.sql.catalog.cat.warehouse"] == "s3://warehouse/path"
     assert "IcebergSparkSessionExtensions" in conf["spark.sql.extensions"]
+
+
+def test_avro_ocf_roundtrip_and_deflate():
+    """kernel.avrox: schema-driven OCF encode/decode round-trips every type
+    the Iceberg metadata layer uses; deflate-codec blocks (raw RFC-1951,
+    what real writers emit) decode too."""
+    import io
+    import json
+    import struct
+    import zlib
+
+    from hadoopsearchengine_spark.kernel.avrox import read_ocf, write_ocf
+
+    schema = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "s", "type": "string"},
+            {"name": "opt", "type": ["null", "long"], "default": None},
+            {"name": "m", "type": {"type": "map", "values": "long"}},
+            {"name": "arr", "type": {"type": "array", "items": "string"}},
+            {"name": "nested", "type": {
+                "type": "record", "name": "n", "fields": [
+                    {"name": "x", "type": "double"},
+                    {"name": "b", "type": "boolean"}]}},
+        ]}
+    recs = [
+        {"a": -(1 << 40) - 7, "s": "héllo", "opt": None, "m": {"k": 7},
+         "arr": ["x", "y"], "nested": {"x": 1.5, "b": True}},
+        {"a": 0, "s": "", "opt": 42, "m": {}, "arr": [],
+         "nested": {"x": -2.25, "b": False}},
+    ]
+    payload = write_ocf(schema, recs)
+    meta, got = read_ocf(payload)
+    assert got == recs
+    # rebuild the same file with a deflate block by hand: header unchanged
+    # except codec, block data raw-deflated
+    sync = payload[-16:]
+    out = bytearray(b"Obj\x01")
+    from hadoopsearchengine_spark.kernel.avrox import (
+        _encode, _read_long, _write_long)
+    _encode(out, {"type": "map", "values": "bytes"},
+            {"avro.schema": json.dumps(schema).encode(),
+             "avro.codec": b"deflate"}, {})
+    out += sync
+    body = bytearray()
+    for r in recs:
+        _encode(body, schema, r, {})
+    comp = zlib.compress(bytes(body), 9)[2:-4]        # strip zlib framing
+    _write_long(out, len(recs))
+    _write_long(out, len(comp))
+    out += comp + sync
+    _, got2 = read_ocf(bytes(out))
+    assert got2 == recs
+
+
+def test_iceberg_table_roundtrip_and_dispatch(spark, tmp_path):
+    """write_iceberg_table -> (version-hint, metadata.json, Avro manifest
+    list + manifest, parquet data) -> read_pages('iceberg:<dir>') resolves
+    the full chain jar-lessly and returns the identical rows; deleted
+    entries are skipped."""
+    import json
+
+    from hadoopsearchengine_spark.kernel.avrox import read_ocf, write_ocf
+    from hadoopsearchengine_spark.sources.iceberg import (
+        iceberg_data_files, read_pages, write_iceberg_table)
+
+    src = spark.createDataFrame(
+        [(i, f"u{i}", float(i) / 4) for i in range(257)],
+        "id long, name string, v double")
+    t = f"{tmp_path}/tbl"
+    info = write_iceberg_table(src, t)
+    assert info["rows"] == 257
+    back = read_pages(spark, f"iceberg:{t}")
+    assert sorted(r["id"] for r in back.collect()) == list(range(257))
+    assert {f.name for f in back.schema.fields} == {"id", "name", "v"}
+    # metadata tree is spec-shaped
+    meta = json.load(open(f"{t}/metadata/v1.metadata.json"))
+    assert meta["format-version"] == 2
+    assert meta["schemas"][0]["fields"][0]["id"] == 1
+    # a DELETED manifest entry must be excluded from planning
+    mf = info["manifest"]
+    _, entries = read_ocf(open(mf, "rb").read())
+    dead = {**entries[0],
+            "status": 2,
+            "data_file": {**entries[0]["data_file"],
+                          "file_path": "/nonexistent.parquet"}}
+    from hadoopsearchengine_spark.sources.iceberg import _MANIFEST_SCHEMA
+    open(mf, "wb").write(write_ocf(_MANIFEST_SCHEMA, entries + [dead]))
+    assert "/nonexistent.parquet" not in iceberg_data_files(t)
+    assert read_pages(spark, f"iceberg:{t}").count() == 257
+
+
+def test_build_index_from_iceberg_pages(spark, tmp_path):
+    """The north rule's literal input path: a pages corpus materialized as
+    an Iceberg v2 table feeds build_index through `iceberg:<dir>` and
+    produces an index content-identical to building from the same rows as
+    parquet."""
+    from hadoopsearchengine_spark.operators.wand import QueryEngine
+    from hadoopsearchengine_spark.plans.build_index import build_index
+    from hadoopsearchengine_spark.sources.iceberg import write_iceberg_table
+    from hadoopsearchengine_spark.sources.pages import write_pages
+
+    write_pages(spark, 120, f"{tmp_path}/pages")
+    pages = spark.read.parquet(f"{tmp_path}/pages")
+    write_iceberg_table(pages, f"{tmp_path}/pages_tbl")
+    build_index(spark, f"iceberg:{tmp_path}/pages_tbl",
+                f"{tmp_path}/idx_ice", block_docs=32,
+                head_df_threshold=60, pagerank_iters=3)
+    build_index(spark, f"{tmp_path}/pages", f"{tmp_path}/idx_pq",
+                block_docs=32, head_df_threshold=60, pagerank_iters=3)
+    a = QueryEngine(f"{tmp_path}/idx_ice")
+    b = QueryEngine(f"{tmp_path}/idx_pq")
+    for q in ("global warming", "financial markets", "machine learning"):
+        assert a.search(q, k=10) == b.search(q, k=10), q
