@@ -197,6 +197,33 @@ def q_txt_token_counts(spark, sf):
             .orderBy(F.col("n").desc(), F.col("token").asc()).limit(100))
 
 
+# GPT-2-style pre-tokenizer (public: Radford et al. 2019 / tiktoken's
+# r50k pattern) with the `\s+(?!\S)` clause dropped — RE2 (DuckDB) has no
+# lookahead, and Spark's Java regex and RE2 must tokenize IDENTICALLY for
+# the oracle to replay the counts. Contractions, letter runs, digit runs,
+# punctuation runs, whitespace runs.
+BPE_PRETOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+")
+
+
+def q_txt_bpe_token_count(spark, sf):
+    """Token counting for training-data accounting (brief: whitespace + a
+    BPE-ish regex): per doc, whitespace token count, GPT-2-pre-tokenizer
+    piece count, and chars-per-piece (the compression-ratio proxy used to
+    budget token counts before running a real BPE merge table). Pure JVM
+    regexp — row-local, zero shuffle."""
+    d = load(spark, sf, "documents")
+    pieces = F.size(F.regexp_extract_all(
+        F.col("text"), F.lit(BPE_PRETOKEN_PATTERN), F.lit(0)))
+    ws = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    return d.select(
+        "doc_id", ws.alias("ws_tokens"), pieces.alias("bpe_pieces"),
+        F.when(pieces == 0, F.lit(None).cast("double")).otherwise(
+            F.round(F.length("text") / pieces, 4)).alias("chars_per_piece"))
+
+
 def q_txt_term_doc_stats(spark, sf):
     """Term dictionary with df/cf (CreateWordList.cpp:22-109)."""
     d = load(spark, sf, "documents")
@@ -1219,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_semdedup": q_sim_semdedup,
         "graph_expected_reward": q_graph_expected_reward,
         "src_iceberg_roundtrip": q_src_iceberg_roundtrip,
+        "txt_bpe_token_count": q_txt_bpe_token_count,
         "sim_ann_ivf": q_sim_ann_ivf,  # oracle prelude refactored r4
         "txt_repetition": q_txt_repetition,
         "txt_neardup_groups": q_txt_neardup_groups,
@@ -2304,6 +2332,21 @@ def oracle_sql() -> dict[str, str]:
         "LIMIT 10", f"LIMIT {EXPREW_CAND_K}")
     assert _xr_cand != sql['txt_bm25_topk']
     sql['src_iceberg_roundtrip'] = sql['src_json_roundtrip']
+    _bpe_pat_sql = BPE_PRETOKEN_PATTERN.replace("'", "''")
+    sql['txt_bpe_token_count'] = f"""
+            SELECT doc_id,
+                   CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS ws_tokens,
+                   len(regexp_extract_all(text,
+                       '{_bpe_pat_sql}')) AS bpe_pieces,
+                   CASE WHEN len(regexp_extract_all(text,
+                            '{_bpe_pat_sql}')) = 0 THEN NULL
+                        ELSE round(CAST(len(text) AS DOUBLE)
+                            / len(regexp_extract_all(text,
+                                  '{_bpe_pat_sql}')), 4)
+                   END AS chars_per_piece
+            FROM documents"""
     sql['graph_expected_reward'] = f"""
             WITH cand AS MATERIALIZED ({_xr_cand}),
             sym AS MATERIALIZED ({sql['graph_keyword_links']}),

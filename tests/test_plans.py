@@ -99,10 +99,11 @@ def test_pipeline_ops_plan_shapes(spark):
     groupBy — the doc-side join must NOT be a shuffle join)."""
     import __spark_entry__ as E
     qs = E.queries()
-    plan = _plan(qs["txt_pii_scrub"](spark, SF))
-    for marker in ("Exchange", "BatchEvalPython", "ArrowEvalPython",
-                   "MapInPandas", "Join"):
-        assert marker not in plan, (marker, plan[:2000])
+    for op in ("txt_pii_scrub", "txt_bpe_token_count"):
+        plan = _plan(qs[op](spark, SF))
+        for marker in ("Exchange", "BatchEvalPython", "ArrowEvalPython",
+                       "MapInPandas", "Join"):
+            assert marker not in plan, (op, marker, plan[:2000])
     plan = _plan(qs["txt_decontaminate"](spark, SF))
     assert "Broadcast" in plan
     for marker in ("SortMergeJoin", "ShuffledHashJoin", "BatchEvalPython",
