@@ -247,10 +247,93 @@ def write_iceberg_table(df: DataFrame, table_dir: str) -> dict:
             "manifest_list": mlist_path}
 
 
-def iceberg_data_files(table_dir: str) -> list[str]:
-    """Resolve the CURRENT snapshot's live data-file paths through the real
-    metadata tree: version-hint -> vN.metadata.json -> manifest list (Avro)
-    -> data manifests (Avro) -> file_path of non-deleted DATA entries."""
+def append_iceberg_snapshot(df: DataFrame, table_dir: str) -> dict:
+    """Append ``df`` to an existing table as a NEW snapshot: new parquet
+    files into data/, a new Avro manifest, a manifest list carrying the
+    previous snapshot's manifests forward plus the new one, and a
+    v{N+1}.metadata.json with the snapshot log grown — the Iceberg commit
+    protocol's result, minus the optimistic-locking CAS (single-writer
+    in-sandbox; a real deploy uses the catalog's atomic swap). Earlier
+    snapshots stay readable via read_iceberg_table(snapshot_id=...)."""
+    import glob
+    import json
+    import os
+    import time
+
+    from ..kernel.avrox import read_ocf, write_ocf
+
+    import pyarrow.parquet as pq
+
+    meta_dir = os.path.join(table_dir, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        version = int(f.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
+        meta = json.load(f)
+    prev_snap = next(s for s in meta["snapshots"]
+                     if s["snapshot-id"] == meta["current-snapshot-id"])
+    with open(_strip_scheme(prev_snap["manifest-list"]), "rb") as f:
+        _, prev_manifests = read_ocf(f.read())
+
+    data_dir = os.path.join(table_dir, "data")
+    before = set(glob.glob(os.path.join(data_dir, "*.parquet")))
+    df.write.mode("append").parquet(data_dir)
+    new_files = sorted(set(glob.glob(os.path.join(data_dir, "*.parquet")))
+                       - before)
+    snap_id = meta["current-snapshot-id"] + 1
+    seq = meta["last-sequence-number"] + 1
+    entries, total_rows = [], 0
+    for p in new_files:
+        n = pq.ParquetFile(p).metadata.num_rows
+        total_rows += n
+        entries.append({
+            "status": 1, "snapshot_id": snap_id, "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {"content": 0, "file_path": os.path.abspath(p),
+                          "file_format": "PARQUET", "partition": {},
+                          "record_count": n,
+                          "file_size_in_bytes": os.path.getsize(p)}})
+    manifest_path = os.path.join(meta_dir, f"manifest-{snap_id}.avro")
+    with open(manifest_path, "wb") as f:
+        f.write(write_ocf(_MANIFEST_SCHEMA, entries))
+    mlist_path = os.path.join(
+        meta_dir, f"snap-{snap_id}-manifest-list.avro")
+    with open(mlist_path, "wb") as f:
+        f.write(write_ocf(_MANIFEST_LIST_SCHEMA, prev_manifests + [{
+            "manifest_path": os.path.abspath(manifest_path),
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": 0, "content": 0,
+            "sequence_number": seq, "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_data_files_count": len(entries),
+            "existing_data_files_count": 0, "deleted_data_files_count": 0,
+            "added_rows_count": total_rows, "existing_rows_count": 0,
+            "deleted_rows_count": 0}]))
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    meta["current-snapshot-id"] = snap_id
+    meta["snapshots"].append({
+        "snapshot-id": snap_id, "sequence-number": seq,
+        "timestamp-ms": int(time.time() * 1000),
+        "manifest-list": os.path.abspath(mlist_path),
+        "summary": {"operation": "append"}, "schema-id": 0,
+        "parent-snapshot-id": prev_snap["snapshot-id"]})
+    meta["refs"] = {"main": {"snapshot-id": snap_id, "type": "branch"}}
+    with open(os.path.join(meta_dir,
+                           f"v{version + 1}.metadata.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(version + 1))
+    return {"snapshot_id": snap_id, "data_files": len(new_files),
+            "rows": total_rows}
+
+
+def iceberg_data_files(table_dir: str,
+                       snapshot_id: int | None = None) -> list[str]:
+    """Resolve a snapshot's live data-file paths through the real metadata
+    tree: version-hint -> vN.metadata.json -> manifest list (Avro) -> data
+    manifests (Avro) -> file_path of non-deleted DATA entries.
+    ``snapshot_id=None`` reads the CURRENT snapshot; passing an id is time
+    travel."""
     import json
     import os
 
@@ -263,9 +346,14 @@ def iceberg_data_files(table_dir: str) -> list[str]:
         meta = json.load(f)
     if meta.get("format-version") != 2:
         raise ValueError("iceberg: only format-version 2 supported")
-    snap_id = meta["current-snapshot-id"]
-    snap = next(s for s in meta["snapshots"]
-                if s["snapshot-id"] == snap_id)
+    snap_id = (meta["current-snapshot-id"]
+               if snapshot_id is None else snapshot_id)
+    try:
+        snap = next(s for s in meta["snapshots"]
+                    if s["snapshot-id"] == snap_id)
+    except StopIteration:
+        raise ValueError(
+            f"iceberg: snapshot {snap_id} not in table {table_dir!r}")
     with open(_strip_scheme(snap["manifest-list"]), "rb") as f:
         _, manifests = read_ocf(f.read())
     paths = []
@@ -287,11 +375,13 @@ def iceberg_data_files(table_dir: str) -> list[str]:
     return paths
 
 
-def read_iceberg_table(spark: SparkSession, table_dir: str) -> DataFrame:
+def read_iceberg_table(spark: SparkSession, table_dir: str,
+                       snapshot_id: int | None = None) -> DataFrame:
     """Iceberg v2 table directory -> DataFrame, without the runtime jar:
     python resolves the metadata tree to the live parquet file list, Spark
-    scans them (pushdown/pruning intact)."""
-    paths = iceberg_data_files(table_dir)
+    scans them (pushdown/pruning intact). ``snapshot_id`` time-travels to
+    an earlier snapshot."""
+    paths = iceberg_data_files(table_dir, snapshot_id=snapshot_id)
     if not paths:
         raise ValueError(f"iceberg: table {table_dir!r} has no data files")
     return spark.read.parquet(*paths)

@@ -146,3 +146,34 @@ def test_build_index_from_iceberg_pages(spark, tmp_path):
     b = QueryEngine(f"{tmp_path}/idx_pq")
     for q in ("global warming", "financial markets", "machine learning"):
         assert a.search(q, k=10) == b.search(q, k=10), q
+
+
+def test_iceberg_append_snapshot_and_time_travel(spark, tmp_path):
+    """append_iceberg_snapshot grows the snapshot log (v2 metadata commit
+    shape): the current read sees the union, snapshot_id= time-travels to
+    the pre-append state, and the version hint / sequence numbers advance."""
+    import json
+
+    from hadoopsearchengine_spark.sources.iceberg import (
+        append_iceberg_snapshot, read_iceberg_table, write_iceberg_table)
+
+    t = f"{tmp_path}/tbl"
+    df1 = spark.createDataFrame([(i, "a") for i in range(10)],
+                                "id long, tag string")
+    df2 = spark.createDataFrame([(i, "b") for i in range(10, 25)],
+                                "id long, tag string")
+    write_iceberg_table(df1, t)
+    info = append_iceberg_snapshot(df2, t)
+    assert info["snapshot_id"] == 2 and info["rows"] == 15
+    assert read_iceberg_table(spark, t).count() == 25
+    old = read_iceberg_table(spark, t, snapshot_id=1)
+    assert sorted(r["id"] for r in old.collect()) == list(range(10))
+    meta = json.load(open(f"{t}/metadata/v2.metadata.json"))
+    assert meta["current-snapshot-id"] == 2
+    assert meta["last-sequence-number"] == 2
+    assert meta["snapshots"][1]["parent-snapshot-id"] == 1
+    assert open(f"{t}/metadata/version-hint.text").read() == "2"
+    # a second append keeps composing
+    append_iceberg_snapshot(df1, t)
+    assert read_iceberg_table(spark, t).count() == 35
+    assert read_iceberg_table(spark, t, snapshot_id=2).count() == 25
