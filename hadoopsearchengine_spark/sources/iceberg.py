@@ -375,6 +375,40 @@ def iceberg_data_files(table_dir: str,
     return paths
 
 
+def iceberg_incremental_files(table_dir: str,
+                              after_snapshot_id: int) -> list[str]:
+    """Data files ADDED by snapshots newer than ``after_snapshot_id`` — the
+    incremental-consumption primitive (Iceberg's incremental scan): a
+    follower (e.g. streaming.incremental's delta indexer) remembers the
+    last snapshot it processed and indexes only the new files of each
+    append. Manifest granularity: a manifest whose added_snapshot_id is
+    newer contributes its ADDED entries."""
+    import os
+
+    from ..kernel.avrox import read_ocf
+
+    meta_dir = os.path.join(table_dir, "metadata")
+    import json
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        version = int(f.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
+        meta = json.load(f)
+    snap = next(s for s in meta["snapshots"]
+                if s["snapshot-id"] == meta["current-snapshot-id"])
+    with open(_strip_scheme(snap["manifest-list"]), "rb") as f:
+        _, manifests = read_ocf(f.read())
+    paths = []
+    for m in manifests:
+        if m["added_snapshot_id"] <= after_snapshot_id:
+            continue
+        with open(_strip_scheme(m["manifest_path"]), "rb") as f:
+            _, entries = read_ocf(f.read())
+        for e in entries:
+            if e["status"] == 1 and e["data_file"].get("content", 0) == 0:
+                paths.append(_strip_scheme(e["data_file"]["file_path"]))
+    return paths
+
+
 def read_iceberg_table(spark: SparkSession, table_dir: str,
                        snapshot_id: int | None = None) -> DataFrame:
     """Iceberg v2 table directory -> DataFrame, without the runtime jar:

@@ -177,3 +177,24 @@ def test_iceberg_append_snapshot_and_time_travel(spark, tmp_path):
     append_iceberg_snapshot(df1, t)
     assert read_iceberg_table(spark, t).count() == 35
     assert read_iceberg_table(spark, t, snapshot_id=2).count() == 25
+
+
+def test_iceberg_incremental_files(spark, tmp_path):
+    """iceberg_incremental_files(after) returns exactly the files appended
+    by newer snapshots — the follower primitive the delta indexer uses."""
+    from hadoopsearchengine_spark.sources.iceberg import (
+        append_iceberg_snapshot, iceberg_data_files,
+        iceberg_incremental_files, write_iceberg_table)
+
+    t = f"{tmp_path}/tbl"
+    write_iceberg_table(
+        spark.createDataFrame([(1,)], "id long"), t)
+    base = set(iceberg_data_files(t))
+    append_iceberg_snapshot(
+        spark.createDataFrame([(2,)], "id long"), t)
+    delta = iceberg_incremental_files(t, after_snapshot_id=1)
+    assert set(delta) and set(delta).isdisjoint(base)
+    assert set(iceberg_data_files(t)) == base | set(delta)
+    assert iceberg_incremental_files(t, after_snapshot_id=2) == []
+    # the delta rows feed the incremental indexer as a plain parquet read
+    assert [r["id"] for r in spark.read.parquet(*delta).collect()] == [2]
