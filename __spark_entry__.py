@@ -224,6 +224,58 @@ def q_txt_bpe_token_count(spark, sf):
             F.round(F.length("text") / pieces, 4)).alias("chars_per_piece"))
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def q_txt_gopher_rules(spark, sf):
+    """Gopher quality-rule filter [Rae et al. 2021, arXiv:2112.11446 A1.1]
+    — the standard pre-training quality gate, as per-doc rule columns plus
+    the composite keep flag: word count in [50, 100k], mean word length in
+    [3, 10], symbol-to-word ratio ('#'/'...') <= 0.1, bullet-start line
+    fraction <= 0.9, ellipsis-end line fraction <= 0.3, >= 80% of words
+    with an alphabetic character, >= 2 of the 8 Gopher stop words. All JVM
+    higher-order functions — row-local, zero shuffle."""
+    d = load(spark, sf, "documents")
+    txt = F.col("text")
+    words = F.split(F.trim(txt), r"\s+")
+    n_words = F.when(F.length(F.trim(txt)) == 0, F.lit(0)).otherwise(
+        F.size(words))
+    mean_wlen = F.aggregate(
+        words, F.lit(0).cast("long"),
+        lambda acc, w: acc + F.length(w)).cast("double") / n_words
+    n_sym = (F.length(txt) - F.length(F.expr("replace(text, '#', '')"))
+             + (F.length(txt)
+                - F.length(F.expr("replace(text, '...', '')"))) / 3)
+    lines = F.split(txt, "\n")
+    bullet = F.size(F.filter(
+        lines, lambda x: x.rlike(r"^\s*[-*•]"))).cast("double") \
+        / F.size(lines)
+    ellipsis = F.size(F.filter(
+        lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))).cast("double") \
+        / F.size(lines)
+    alpha = F.size(F.filter(
+        words, lambda w: w.rlike("[A-Za-z]"))).cast("double") / n_words
+    low = F.transform(words, lambda w: F.lower(w))
+    stop_hits = F.size(F.filter(
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        lambda s: F.array_contains(low, s)))
+    out = d.select(
+        "doc_id", n_words.alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(n_sym / n_words, 6).alias("symbol_ratio"),
+        F.round(bullet, 6).alias("bullet_frac"),
+        F.round(ellipsis, 6).alias("ellipsis_frac"),
+        F.round(alpha, 6).alias("alpha_frac"),
+        stop_hits.alias("stop_hits"))
+    return out.withColumn(
+        "keep",
+        (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)
+        & (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("bullet_frac") <= 0.9) & (F.col("ellipsis_frac") <= 0.3)
+        & (F.col("alpha_frac") >= 0.8) & (F.col("stop_hits") >= 2))
+
+
 def q_txt_term_doc_stats(spark, sf):
     """Term dictionary with df/cf (CreateWordList.cpp:22-109)."""
     d = load(spark, sf, "documents")
@@ -1247,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_expected_reward": q_graph_expected_reward,
         "src_iceberg_roundtrip": q_src_iceberg_roundtrip,
         "txt_bpe_token_count": q_txt_bpe_token_count,
+        "txt_gopher_rules": q_txt_gopher_rules,
         "sim_ann_ivf": q_sim_ann_ivf,  # oracle prelude refactored r4
         "txt_repetition": q_txt_repetition,
         "txt_neardup_groups": q_txt_neardup_groups,
@@ -2332,6 +2385,47 @@ def oracle_sql() -> dict[str, str]:
         "LIMIT 10", f"LIMIT {EXPREW_CAND_K}")
     assert _xr_cand != sql['txt_bm25_topk']
     sql['src_iceberg_roundtrip'] = sql['src_json_roundtrip']
+    _gstops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    sql['txt_gopher_rules'] = f"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     CASE WHEN len(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text),
+                                                         '\\s+'))
+                     END AS n_words,
+                     regexp_split_to_array(trim(text), '\\s+') AS words,
+                     regexp_split_to_array(text, '\n') AS lines
+              FROM documents),
+            m AS (
+              SELECT doc_id, n_words,
+                     round(CAST(list_sum(list_transform(words,
+                               w -> len(w))) AS DOUBLE) / n_words, 6)
+                         AS mean_word_len,
+                     round((len(text) - len(replace(text, '#', ''))
+                            + (len(text) - len(replace(text, '...', '')))
+                              / 3.0) / n_words, 6) AS symbol_ratio,
+                     round(CAST(len(list_filter(lines,
+                               l -> regexp_matches(l, '^\\s*[-*•]')))
+                           AS DOUBLE) / len(lines), 6) AS bullet_frac,
+                     round(CAST(len(list_filter(lines,
+                               l -> regexp_matches(l,
+                                    '(\\.\\.\\.|…)\\s*$')))
+                           AS DOUBLE) / len(lines), 6) AS ellipsis_frac,
+                     round(CAST(len(list_filter(words,
+                               w -> regexp_matches(w, '[A-Za-z]')))
+                           AS DOUBLE) / n_words, 6) AS alpha_frac,
+                     len(list_filter([{_gstops}],
+                         s -> list_contains(list_transform(words,
+                              w -> lower(w)), s))) AS stop_hits
+              FROM base)
+            SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+                   bullet_frac, ellipsis_frac, alpha_frac, stop_hits,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND mean_word_len >= 3 AND mean_word_len <= 10
+                    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+                    AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+                    AND stop_hits >= 2) AS keep
+            FROM m"""
     _bpe_pat_sql = BPE_PRETOKEN_PATTERN.replace("'", "''")
     sql['txt_bpe_token_count'] = f"""
             SELECT doc_id,

@@ -384,3 +384,36 @@ def test_semdedup_planted_duplicates(spark):
     exact = {(r["a"], r["b"]) for r in similarity.cosine_pairs_blocked(
         emb, threshold=0.99, n_blocks=4).collect()}
     assert got <= exact and got, (got, exact)
+
+
+def test_gopher_rules_fire_individually(spark):
+    """Each Gopher rule must actually trip on a crafted violating doc while
+    a clean doc passes."""
+    import __spark_entry__ as E
+    from unittest.mock import patch
+
+    good = ("the quick brown fox jumps over that lazy dog and we have "
+            "plenty of plain sensible words to be counted here with "
+            * 5)
+    docs = [
+        (0, good),                                   # passes everything
+        (1, "too few words"),                        # n_words < 50
+        (2, ("# " * 30) + good),                     # symbol ratio
+        (3, "\n".join("- bullet line" for _ in range(10)) + "\n" + good),
+        (4, "\n".join("trailing line..." for _ in range(10))),
+        (5, ("1234 5678 " * 40) + "the of and that"),  # alpha frac
+        (6, ("zz yy xx ww vv uu " * 20)),            # no stop words
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    with patch.object(E, "load", lambda s, sf, t: df):
+        rows = {r["doc_id"]: r for r in
+                E.q_txt_gopher_rules(spark, "ignored").collect()}
+    assert rows[0]["keep"] is True
+    for i in range(1, 7):
+        assert rows[i]["keep"] is False, (i, rows[i])
+    assert rows[1]["n_words"] < 50
+    assert rows[2]["symbol_ratio"] > 0.1
+    assert rows[3]["bullet_frac"] > 0.9 or rows[3]["keep"] is False
+    assert rows[4]["ellipsis_frac"] > 0.3
+    assert rows[5]["alpha_frac"] < 0.8
+    assert rows[6]["stop_hits"] < 2
