@@ -413,6 +413,20 @@ def main():
     print(f"  combined (min of windows): {result['query_engine']}",
           file=sys.stderr)
 
+    # sharded serving tier: same query set through the 4-shard
+    # scatter-gather topology (rank parity is pinned by pytest; this
+    # measures the scatter overhead and the per-shard memory split)
+    print("== sharded query tier (4 term shards) ==", file=sys.stderr)
+    from hadoopsearchengine_spark.operators.sharded import ShardedQueryEngine
+    sq = ShardedQueryEngine(f"{work}/idx", n_shards=4)
+    sharded_lat = measure_query_latency(sq, REFERENCE_QUERIES, reps=50)
+    result["sharded_engine"] = {
+        "n_shards": 4,
+        **{m: sharded_lat[m] for m in ("p50_ms", "p95_ms", "mean_ms")},
+        "shard_memory_bytes": sq.memory_bytes_per_shard(),
+    }
+    print(f"  {result['sharded_engine']}", file=sys.stderr)
+
     # headline numbers last — see the key-order note at the top of main()
     result["queries"] = queries
     result["metric"] = ("headline ops wall time at sf + index-build docs/sec "
