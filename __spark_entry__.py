@@ -636,6 +636,47 @@ def q_txt_spell_suggest(spark, sf):
     return spell_suggest_df(dict_df, top, max_dist=2, topn=3)
 
 
+def q_mm_audio_features(spark, sf):
+    """Audio leg of the multimodal family with a REAL decoder
+    (kernel.wavx, pure numpy+struct — no libav): per doc_id a
+    deterministic int16 mono PCM clip (n = 200 + d%57 frames,
+    rate = 8000 + (d%3)*4000, sample_i = ((4093d + 97i) mod 65536) -
+    32768) is WAV-encoded, decoded back by extract_audio_features, and the
+    DuckDB oracle re-derives every feature — byte count, rate, channels,
+    frames, duration, RMS and peak over the normalized samples — from the
+    generator formula, so the whole decode + feature path is value-exact."""
+    from hadoopsearchengine_spark.functions.multimodal import (
+        extract_audio_features)
+    from hadoopsearchengine_spark.kernel.wavx import encode_wav
+
+    d = load(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 200 + did % 57
+                rate = 8000 + (did % 3) * 4000
+                i = np.arange(n, dtype=np.int64)
+                v = ((4093 * did + 97 * i) % 65536 - 32768).astype(np.int16)
+                rows.append((did, encode_wav(v, rate)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = d.mapInPandas(gen, "doc_id long, payload binary")
+    feats = extract_audio_features(payloads, "payload", "doc_id")
+    # duration as INTEGER microseconds (floor) — n/rate rounded to 6dp sits
+    # exactly on .5 ties for rate=16000, where Python banker's rounding and
+    # DuckDB half-away diverge; integer division is engine-independent
+    return feats.select(
+        "media_id", "n_bytes", "sample_rate", "n_channels", "n_frames",
+        (F.col("n_frames") * 1_000_000 / F.col("sample_rate"))
+        .cast("long").alias("duration_us"),
+        "rms", "peak")
+
+
 def q_mm_pixel_dedup(spark, sf):
     """Cross-FORMAT exact image dedup over decoded pixels: per doc_id a
     deterministic grayscale image keyed by g = doc_id % 50 (w = 12 + g%9,
@@ -1305,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_neardup_groups": q_txt_neardup_groups,
         "graph_keyword_links": q_graph_keyword_links,
         "mm_pixel_dedup": q_mm_pixel_dedup,
+        "mm_audio_features": q_mm_audio_features,
         "mm_media_features": q_mm_media_features,
         "txt_mix_sample": q_txt_mix_sample,
         "txt_anchor_terms": q_txt_anchor_terms,
@@ -2426,6 +2468,26 @@ def oracle_sql() -> dict[str, str]:
                     AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
                     AND stop_hits >= 2) AS keep
             FROM m"""
+    sql['mm_audio_features'] = """
+            WITH s AS (SELECT doc_id, 200 + doc_id % 57 AS n,
+                              8000 + (doc_id % 3) * 4000 AS rate
+                       FROM documents),
+            v AS (SELECT s.doc_id, s.n, s.rate,
+                         (((4093 * s.doc_id + 97 * i) % 65536) - 32768)
+                             / 32768.0 AS x
+                  FROM s, unnest(generate_series(0, s.n - 1)) AS t(i)),
+            a AS (SELECT doc_id, any_value(n) AS n, any_value(rate) AS rate,
+                         sqrt(avg(x * x)) AS r, max(abs(x)) AS pk
+                  FROM v GROUP BY 1)
+            SELECT doc_id AS media_id,
+                   CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+                   CAST(rate AS INT) AS sample_rate,
+                   CAST(1 AS INT) AS n_channels,
+                   CAST(n AS BIGINT) AS n_frames,
+                   CAST((n * 1000000) // rate AS BIGINT) AS duration_us,
+                   round(r, 6) AS rms,
+                   round(pk, 6) AS peak
+            FROM a"""
     _bpe_pat_sql = BPE_PRETOKEN_PATTERN.replace("'", "''")
     sql['txt_bpe_token_count'] = f"""
             SELECT doc_id,

@@ -176,3 +176,54 @@ def pixel_signatures(df: DataFrame, media_col: str, id_col: str,
 
     return df.select(id_col, media_col).mapInPandas(
         run, schema=PIXEL_SIG_SCHEMA)
+
+
+AUDIO_SCHEMA = ("media_id long, n_bytes long, sha256 string, "
+                "sample_rate int, n_channels int, n_frames long, "
+                "duration_s double, rms double, peak double")
+
+
+def extract_audio_features(df: DataFrame, media_col: str, id_col: str,
+                           fake: bool = True,
+                           round_to: int = 6) -> DataFrame:
+    """(id, binary WAV) -> AUDIO_SCHEMA via Arrow-batched mapInPandas —
+    the audio leg of the media family, REAL decode via kernel.wavx (PCM +
+    float WAV; no libav needed). rms/peak are computed over the decoded
+    [-1, 1] float samples across all channels. Non-WAV payloads follow the
+    siblings' fake/raise policy."""
+    import hashlib
+
+    import numpy as np
+
+    from ..kernel.wavx import decode_wav
+
+    def one(payload: bytes):
+        payload = bytes(payload)
+        base = {"n_bytes": len(payload),
+                "sha256": hashlib.sha256(payload).hexdigest()}
+        try:
+            x, rate = decode_wav(payload)
+        except ValueError:
+            if not fake:
+                raise
+            h = int(base["sha256"][:8], 16)
+            return {**base, "sample_rate": 8000 + h % 40000,
+                    "n_channels": 1 + h % 2, "n_frames": 64 + h % 4096,
+                    "duration_s": None, "rms": None, "peak": None}
+        return {**base, "sample_rate": int(rate),
+                "n_channels": int(x.shape[1]),
+                "n_frames": int(x.shape[0]),
+                "duration_s": round(x.shape[0] / rate, round_to),
+                "rms": round(float(np.sqrt(np.mean(x * x))), round_to)
+                if x.size else None,
+                "peak": round(float(np.abs(x).max()), round_to)
+                if x.size else None}
+
+    def run(batches):
+        for pdf in batches:
+            rows = [one(p) for p in pdf[media_col]]
+            out = pd.DataFrame(rows)
+            out.insert(0, "media_id", pdf[id_col].to_numpy())
+            yield out
+
+    return df.mapInPandas(run, schema=AUDIO_SCHEMA)

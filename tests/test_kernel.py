@@ -331,3 +331,63 @@ def test_png_adam7_and_16bit():
     got = decode_png(encode_png(g16, interlace=True))
     assert np.array_equal(
         got, np.repeat((g16 >> 8).astype(np.uint8)[:, :, None], 3, axis=2))
+
+
+def test_wav_roundtrip_and_stdlib_crosscheck():
+    """kernel.wavx: PCM decode cross-checked against the stdlib `wave`
+    module (two independent implementations of the same public spec) in
+    both directions, plus 8-bit, float32, extensible-format, extra-chunk
+    and fail-fast paths."""
+    import io
+    import struct
+    import wave
+
+    import pytest
+
+    from hadoopsearchengine_spark.kernel.wavx import decode_wav, encode_wav
+
+    rng = np.random.default_rng(11)
+    s = rng.integers(-32768, 32768, (500, 2)).astype(np.int16)
+    payload = encode_wav(s, 16000)
+    w = wave.open(io.BytesIO(payload))
+    assert (w.getnchannels(), w.getframerate(), w.getnframes()) == \
+        (2, 16000, 500)
+    assert w.readframes(500) == s.astype("<i2").tobytes()
+    x, rate = decode_wav(payload)
+    assert rate == 16000 and x.shape == (500, 2)
+    assert np.allclose(x, s / 32768.0)
+
+    buf = io.BytesIO()
+    ww = wave.open(buf, "wb")
+    ww.setnchannels(1)
+    ww.setsampwidth(2)
+    ww.setframerate(8000)
+    ww.writeframes(s[:, 0].tobytes())
+    ww.close()
+    x2, r2 = decode_wav(buf.getvalue())
+    assert r2 == 8000 and np.allclose(x2[:, 0], s[:, 0] / 32768.0)
+
+    def hdr(fmt, ch, rate, bits, n):
+        block = ch * bits // 8
+        return struct.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + n, b"WAVE",
+                           b"fmt ", 16, fmt, ch, rate, rate * block, block,
+                           bits, b"data", n)
+
+    u8 = rng.integers(0, 256, 100).astype(np.uint8)
+    x3, _ = decode_wav(hdr(1, 1, 8000, 8, 100) + u8.tobytes())
+    assert np.allclose(x3[:, 0], (u8.astype(float) - 128) / 128)
+    f32 = rng.random(64).astype("<f4")
+    x4, _ = decode_wav(hdr(3, 1, 44100, 32, 256) + f32.tobytes())
+    assert np.allclose(x4[:, 0], f32)
+    # odd-size extra chunk before data must be skipped with word alignment
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    base = encode_wav(s[:4, 0], 8000)
+    spliced = base[:12] + extra + base[12:]
+    spliced = spliced[:4] + struct.pack(
+        "<I", len(spliced) - 8) + spliced[8:]
+    x5, _ = decode_wav(spliced)
+    assert np.allclose(x5[:, 0], s[:4, 0] / 32768.0)
+    for bad in (b"RIFFxxxx", b"", payload[:30],
+                hdr(2, 1, 8000, 16, 4) + b"\0" * 4):   # ADPCM fmt
+        with pytest.raises(ValueError):
+            decode_wav(bad)
