@@ -4,9 +4,14 @@ Each ``queries()`` entry is an implemented operator from SURVEY.md §2 (or a
 training-data-pipeline op), expressed Spark-first in
 ``hadoopsearchengine_spark``; ``oracle_sql()`` carries the DuckDB-equivalent
 ANSI SQL run by the driver at sf=0.01 (row-count + schema + value-hash).
-Every entry has oracle SQL (50/50) — the iterative ops (PageRank cycles,
-IVF kmeans) unroll their fixed iteration counts into chained CTEs; the
-hash-dependent ops use engine-agnostic md5 modes.
+Every entry has oracle SQL (64/64) — the iterative ops (PageRank cycles,
+IVF kmeans, label propagation, the expected-reward walk) unroll their fixed
+iteration counts into chained CTEs; the hash-dependent ops use
+engine-agnostic md5 modes.
+
+Registry ORDER is a contract: the driver checks the first 50 entries, so
+every op changed since its last green check sits inside that window and the
+oldest byte-unchanged green entries rotate past it (see queries()).
 
 Naming: q_<family>_<op>. Every computed column is aliased identically in the
 Spark plan and the SQL so the driver's column-sorted value hash lines up.
