@@ -41,12 +41,29 @@ class ShardedQueryEngine:
     Engine kwargs (preload / result_cache / decode_cache) pass through to
     every shard."""
 
-    def __init__(self, index_dir: str, n_shards: int = 4, **engine_kwargs):
+    def __init__(self, index_dir: str, n_shards: int = 4,
+                 parallel: bool = False, **engine_kwargs):
+        """``parallel=True`` scatters via a thread pool — one thread per
+        shard, the shape of the reference's concurrent per-division
+        servers. Results are bit-identical to the sequential scatter (the
+        gather is order-insensitive: np.unique + add.at over the
+        concatenated parts). MEASURED honesty: in ONE process the scatter
+        path interleaves numpy kernels with python-level block iteration
+        that holds the GIL, so threads LOSE at sandbox scales (24k pages:
+        2.1 ms sequential vs 3.3 ms threaded p50) — the option exists to
+        model the topology; a real deployment runs shards as separate
+        processes/servers where the overlap is genuine, and the default
+        stays sequential."""
         import pyarrow.parquet as pq
         if n_shards < 1:
             raise ValueError("n_shards must be >= 1")
         self.index_dir = index_dir
         self.n_shards = n_shards
+        self.parallel = parallel
+        self._pool = None
+        if parallel and n_shards > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(max_workers=n_shards)
         self.shards = [
             QueryEngine(index_dir, shard=(i, n_shards), **engine_kwargs)
             for i in range(n_shards)]
@@ -70,7 +87,11 @@ class ShardedQueryEngine:
         route those queries to an unsharded engine or extend the scatter
         payload). dedup=True collapses checksum-identical docs keeping the
         best-ranked, using the doc tier's checksums."""
-        parts = [s.shard_contributions(query) for s in self.shards]
+        if self._pool is not None:
+            parts = list(self._pool.map(
+                lambda s: s.shard_contributions(query), self.shards))
+        else:
+            parts = [s.shard_contributions(query) for s in self.shards]
         ds = [p[0] for p in parts if p[0].size]
         if not ds:
             return []

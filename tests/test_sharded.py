@@ -81,3 +81,15 @@ def test_shard_nonpreload_matches(index_dir, single):
         want = single.search(q, k=10)
         got = sh.search(q, k=10)
         assert [d for d, _ in got] == [d for d, _ in want], q
+
+
+def test_parallel_scatter_identical(index_dir, single, sharded):
+    """parallel=True (thread-pool scatter) must be bit-identical to both
+    the sequential sharded path and the single engine, incl. dedup."""
+    par = ShardedQueryEngine(index_dir, n_shards=4, parallel=True)
+    for q in REFERENCE_QUERIES:
+        assert par.search(q, k=10) == sharded.search(q, k=10) == \
+            single.search(q, k=10), q
+        assert par.search(q, k=10, dedup=True) == \
+            sharded.search(q, k=10, dedup=True), q
+    assert par.search("") == []
