@@ -87,8 +87,10 @@ HEADLINE = [
     "txt_bm25_batch",
     # r3 additions
     "txt_neardup_groups", "txt_spell_suggest",
-    # r4 additions: composed keyword PulseRank, SemDeDup, ExpRew re-rank
+    # r4 additions: composed keyword PulseRank, SemDeDup, ExpRew re-rank,
+    # Gopher rules, BPE-ish token accounting, WAV audio features
     "graph_keyword_pagerank", "sim_semdedup", "graph_expected_reward",
+    "txt_gopher_rules", "txt_bpe_token_count", "mm_audio_features",
 ]
 
 BUILD_SNIPPET = """
