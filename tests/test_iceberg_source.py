@@ -204,3 +204,59 @@ def test_iceberg_incremental_files(spark, tmp_path):
     assert iceberg_incremental_files(t, after_snapshot_id=2) == []
     # the delta rows feed the incremental indexer as a plain parquet read
     assert [r["id"] for r in spark.read.parquet(*delta).collect()] == [2]
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+if HAVE_HYP:
+    import pytest as _pytest
+
+    _rec = st.fixed_dictionaries({
+        "a": st.integers(min_value=-(1 << 62), max_value=(1 << 62) - 1),
+        "s": st.text(max_size=40),
+        "opt": st.none() | st.integers(min_value=-(1 << 31),
+                                       max_value=1 << 31),
+        "b": st.booleans(),
+        "x": st.floats(allow_nan=False, allow_infinity=False, width=64),
+        "m": st.dictionaries(st.text(min_size=1, max_size=8),
+                             st.integers(min_value=0, max_value=1 << 40),
+                             max_size=5),
+        "arr": st.lists(st.text(max_size=10), max_size=6),
+        "raw": st.binary(max_size=30),
+    })
+    _AVRO_SCHEMA = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "s", "type": "string"},
+            {"name": "opt", "type": ["null", "long"], "default": None},
+            {"name": "b", "type": "boolean"},
+            {"name": "x", "type": "double"},
+            {"name": "m", "type": {"type": "map", "values": "long"}},
+            {"name": "arr", "type": {"type": "array", "items": "string"}},
+            {"name": "raw", "type": "bytes"},
+        ]}
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(_rec, max_size=12))
+    def test_hypothesis_avro_ocf_roundtrip(recs):
+        from hadoopsearchengine_spark.kernel.avrox import read_ocf, write_ocf
+        _, got = read_ocf(write_ocf(_AVRO_SCHEMA, recs))
+        assert got == recs
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(min_value=1, max_value=3),
+           st.integers(min_value=0, max_value=400),
+           st.integers(min_value=1000, max_value=96000))
+    def test_hypothesis_wav_roundtrip(ch, frames, rate):
+        import numpy as np
+        from hadoopsearchengine_spark.kernel.wavx import (decode_wav,
+                                                          encode_wav)
+        rng = np.random.default_rng(frames * 7 + ch)
+        s = rng.integers(-32768, 32768, (frames, ch)).astype(np.int16)
+        x, r = decode_wav(encode_wav(s, rate))
+        assert r == rate and x.shape == (frames, ch)
+        assert np.allclose(x, s / 32768.0)
