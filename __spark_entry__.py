@@ -1062,6 +1062,38 @@ def q_src_iceberg_roundtrip(spark, sf):
                  F.round(F.sum("value"), 4).alias("total_value")))
 
 
+def q_src_csv_roundtrip(spark, sf):
+    """CSV source coverage (SURVEY §2.4): events written as headered CSV and
+    read back with an explicit schema aggregate identically to the parquet
+    original (same oracle as the JSON round trip — the format layer must be
+    lossless for these column types)."""
+    import tempfile
+    ev = load(spark, sf, "events")
+    out = tempfile.mkdtemp(prefix="sfe_csv_")
+    (ev.select("event_id", "user_id", "event_type", "value")
+     .write.mode("overwrite").option("header", True).csv(out))
+    back = spark.read.schema(
+        "event_id long, user_id long, event_type string, value double"
+    ).option("header", True).csv(out)
+    return (back.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("total_value")))
+
+
+def q_src_orc_roundtrip(spark, sf):
+    """ORC source coverage (SURVEY §2.4): same contract through Spark's ORC
+    reader/writer."""
+    import tempfile
+    ev = load(spark, sf, "events")
+    out = tempfile.mkdtemp(prefix="sfe_orc_")
+    (ev.select("event_id", "user_id", "event_type", "value")
+     .write.mode("overwrite").orc(out))
+    back = spark.read.orc(out)
+    return (back.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("total_value")))
+
+
 def q_txt_corpus_filter(spark, sf):
     """The training-data-curation composite: keep-list of documents passing
     language ID ('en'), a minimum quality bar (>= 40 tokens, stopword ratio
@@ -1344,6 +1376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_semdedup": q_sim_semdedup,
         "graph_expected_reward": q_graph_expected_reward,
         "src_iceberg_roundtrip": q_src_iceberg_roundtrip,
+        "src_csv_roundtrip": q_src_csv_roundtrip,
+        "src_orc_roundtrip": q_src_orc_roundtrip,
         "txt_bpe_token_count": q_txt_bpe_token_count,
         "txt_gopher_rules": q_txt_gopher_rules,
         "sim_ann_ivf": q_sim_ann_ivf,  # oracle prelude refactored r4
@@ -2432,6 +2466,8 @@ def oracle_sql() -> dict[str, str]:
         "LIMIT 10", f"LIMIT {EXPREW_CAND_K}")
     assert _xr_cand != sql['txt_bm25_topk']
     sql['src_iceberg_roundtrip'] = sql['src_json_roundtrip']
+    sql['src_csv_roundtrip'] = sql['src_json_roundtrip']
+    sql['src_orc_roundtrip'] = sql['src_json_roundtrip']
     _gstops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
     sql['txt_gopher_rules'] = f"""
             WITH base AS (
