@@ -682,6 +682,59 @@ def q_mm_audio_features(spark, sf):
         "rms", "peak")
 
 
+def q_mm_video_frames(spark, sf):
+    """Video leg with a REAL decoder for MJPEG-AVI (kernel.videox RIFF
+    walk + kernel.jpegx frame decode — r3 verdict listed video as the last
+    stubbed modality; other codecs still need libav and keep the stub
+    policy): per doc_id an AVI of n = 2 + d%4 frames (w = 16 + d%8,
+    h = 16 + d%5, frame f pixel v = (5d + 3x + 2y + 11f) mod 256, gray)
+    is built, sample_frames decodes 3 evenly-spaced REAL frames, and the
+    dims of each decoded frame are read back from the emitted PPM. The
+    oracle re-derives the sampled frame list and geometry from the
+    formula (pixel values are JPEG-lossy, hence structural columns)."""
+    from hadoopsearchengine_spark.functions.multimodal import sample_frames
+    from hadoopsearchengine_spark.kernel.videox import encode_mjpeg_avi
+
+    d = load(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 2 + did % 4
+                w, h = 16 + did % 8, 16 + did % 5
+                frames = []
+                for f in range(n):
+                    v = ((5 * did + 3 * np.arange(w)[None, :]
+                          + 2 * np.arange(h)[:, None] + 11 * f)
+                         % 256).astype(np.uint8)
+                    frames.append(np.repeat(v[:, :, None], 3, axis=2))
+                rows.append((did, encode_mjpeg_avi(frames, fps=10)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = d.mapInPandas(gen, "doc_id long, payload binary")
+    sampled = sample_frames(payloads, "payload", "doc_id", n_frames=3)
+
+    def dims(batches):
+        import pandas as pd
+        from hadoopsearchengine_spark.kernel import imagex
+        for pdf in batches:
+            rows = []
+            for mid, fno, frame in zip(pdf["media_id"], pdf["frame_no"],
+                                       pdf["frame"]):
+                img = imagex.decode_image(bytes(frame))
+                rows.append((int(mid), int(fno),
+                             int(img.shape[1]), int(img.shape[0])))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_no", "width", "height"])
+
+    return sampled.mapInPandas(
+        dims, "media_id long, frame_no int, width int, height int")
+
+
 def q_mm_pixel_dedup(spark, sf):
     """Cross-FORMAT exact image dedup over decoded pixels: per doc_id a
     deterministic grayscale image keyed by g = doc_id % 50 (w = 12 + g%9,
@@ -1386,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_keyword_links": q_graph_keyword_links,
         "mm_pixel_dedup": q_mm_pixel_dedup,
         "mm_audio_features": q_mm_audio_features,
+        "mm_video_frames": q_mm_video_frames,
         "mm_media_features": q_mm_media_features,
         "txt_mix_sample": q_txt_mix_sample,
         "txt_anchor_terms": q_txt_anchor_terms,
@@ -2465,6 +2519,14 @@ def oracle_sql() -> dict[str, str]:
     _xr_cand = sql['txt_bm25_topk'].replace(
         "LIMIT 10", f"LIMIT {EXPREW_CAND_K}")
     assert _xr_cand != sql['txt_bm25_topk']
+    sql['mm_video_frames'] = """
+            WITH f AS (SELECT doc_id, 2 + doc_id % 4 AS n FROM documents),
+            s AS (SELECT doc_id, unnest(generate_series(
+                      0, least(3, n) - 1)) AS frame_no FROM f)
+            SELECT doc_id AS media_id, CAST(frame_no AS INT) AS frame_no,
+                   CAST(16 + doc_id % 8 AS INT) AS width,
+                   CAST(16 + doc_id % 5 AS INT) AS height
+            FROM s"""
     sql['src_iceberg_roundtrip'] = sql['src_json_roundtrip']
     sql['src_csv_roundtrip'] = sql['src_json_roundtrip']
     sql['src_orc_roundtrip'] = sql['src_json_roundtrip']

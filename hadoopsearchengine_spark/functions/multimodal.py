@@ -104,17 +104,37 @@ def resize_images(df: DataFrame, media_col: str, id_col: str,
 
 def sample_frames(df: DataFrame, media_col: str, id_col: str,
                   n_frames: int = 4, fake: bool = True) -> DataFrame:
-    """Frame-sampling plumbing for video payloads: (id, binary) ->
-    one row per sampled frame (id, frame_no, offset, frame binary). The
-    video decoder is STUBBED: 'frames' are evenly-spaced 256-byte slices —
-    swap for libav in a real deployment."""
+    """Frame-sampling for video payloads: (id, binary) -> one row per
+    sampled frame (id, frame_no, offset, frame binary).
+
+    MJPEG-AVI payloads decode for REAL (kernel.videox RIFF walk +
+    kernel.jpegx frames): ``n_frames`` evenly-spaced frames are decoded and
+    re-encoded as PPM, ``offset`` is the true byte offset of the sampled
+    frame's chunk. Other containers (H.26x/VP9/... — genuinely need libav)
+    follow the fake/raise policy: evenly-spaced 256-byte payload slices
+    when fake=True, NotImplementedError otherwise."""
+    from ..kernel.videox import mjpeg_avi_frames
+    from ..kernel.jpegx import decode_jpeg
+
     def run(batches):
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[media_col]):
-                if not fake:
-                    raise NotImplementedError("video decode needs libav")
                 raw = bytes(payload)
+                try:
+                    chunks = mjpeg_avi_frames(raw)
+                    step = max(len(chunks) // n_frames, 1)
+                    picks = list(range(0, len(chunks), step))[:n_frames]
+                    for f, ci in enumerate(picks):
+                        off, jpeg = chunks[ci]
+                        ppm = imagex.encode_ppm(decode_jpeg(jpeg))
+                        rows.append((int(mid), f, off, ppm))
+                    continue
+                except ValueError:
+                    pass                              # not MJPEG-AVI
+                if not fake:
+                    raise NotImplementedError(
+                        "non-MJPEG-AVI video decode needs libav")
                 if not raw:
                     continue
                 step = max(len(raw) // n_frames, 1)

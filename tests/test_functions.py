@@ -417,3 +417,28 @@ def test_gopher_rules_fire_individually(spark):
     assert rows[4]["ellipsis_frac"] > 0.3
     assert rows[5]["alpha_frac"] < 0.8
     assert rows[6]["stop_hits"] < 2
+
+
+def test_sample_frames_real_mjpeg_avi(spark):
+    """sample_frames decodes REAL frames from MJPEG-AVI payloads (PPM out,
+    true chunk offsets) and keeps the stub path for unknown containers."""
+    import numpy as np
+    from hadoopsearchengine_spark.functions.multimodal import sample_frames
+    from hadoopsearchengine_spark.kernel import imagex
+    from hadoopsearchengine_spark.kernel.videox import encode_mjpeg_avi
+
+    frames = [np.full((20, 30, 3), 40 * (f + 1), np.uint8)
+              for f in range(6)]
+    avi = encode_mjpeg_avi(frames, fps=5, quality=80)
+    df = spark.createDataFrame([(1, avi), (2, b"not-a-video" * 50)],
+                               "doc_id long, payload binary")
+    rows = sample_frames(df, "payload", "doc_id", n_frames=3).collect()
+    real = sorted((r for r in rows if r["media_id"] == 1),
+                  key=lambda r: r["frame_no"])
+    assert [r["frame_no"] for r in real] == [0, 1, 2]
+    for r, want in zip(real, (frames[0], frames[2], frames[4])):
+        img = imagex.decode_image(bytes(r["frame"]))
+        assert img.shape == want.shape
+        assert np.abs(img.astype(int) - want.astype(int)).mean() < 4
+    stub = [r for r in rows if r["media_id"] == 2]
+    assert len(stub) == 3                            # fake slices

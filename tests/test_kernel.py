@@ -391,3 +391,36 @@ def test_wav_roundtrip_and_stdlib_crosscheck():
                 hdr(2, 1, 8000, 16, 4) + b"\0" * 4):   # ADPCM fmt
         with pytest.raises(ValueError):
             decode_wav(bad)
+
+
+def test_mjpeg_avi_roundtrip():
+    """kernel.videox: MJPEG-AVI encode -> frame-chunk walk -> JPEG decode
+    recovers every frame (within JPEG quantization error; flat frames
+    exact); offsets are monotonically increasing true byte offsets; fail
+    fast on non-AVI and truncated chunk lists."""
+    import pytest
+
+    from hadoopsearchengine_spark.kernel.videox import (
+        decode_mjpeg_avi, encode_mjpeg_avi, mjpeg_avi_frames)
+
+    rng = np.random.default_rng(4)
+    frames = [np.clip(rng.normal(128, 30, (24, 32, 3)), 0,
+                      255).astype(np.uint8) for _ in range(5)]
+    avi = encode_mjpeg_avi(frames, fps=12)
+    got = decode_mjpeg_avi(avi)
+    assert len(got) == 5
+    for a, b in zip(got, frames):
+        assert a.shape == b.shape
+        assert np.abs(a.astype(int) - b.astype(int)).mean() < 12
+    chunks = mjpeg_avi_frames(avi)
+    offs = [o for o, _ in chunks]
+    assert offs == sorted(offs)
+    for off, jpeg in chunks:
+        assert avi[off:off + len(jpeg)] == jpeg      # true byte offsets
+    flat = [np.full((16, 16, 3), c, np.uint8) for c in (50, 120, 200)]
+    got2 = decode_mjpeg_avi(encode_mjpeg_avi(flat, quality=75))
+    assert all((g == f).all() for g, f in zip(got2, flat))
+    for bad in (b"RIFF1234AVI", b"", avi[:40],
+                b"RIFF" + avi[4:8] + b"WAVE" + avi[12:]):
+        with pytest.raises(ValueError):
+            mjpeg_avi_frames(bad)
