@@ -11,10 +11,13 @@ r4; round-trip pinned by pytest against the package's own encoders since no
 PIL exists here to make fixtures), and so is 8-bit PNG (``kernel.pngx`` —
 stdlib zlib + numpy unfilter, all five scanline filters,
 gray/palette/RGB/RGBA, and since r4 16-bit depth + Adam7 interlacing).
-Remaining fallback-to-stub formats when ``fake=True`` (raise when
-``fake=False``): arithmetic-coded/12-bit/hierarchical JPEG, sub-8-bit PNG,
-and video — swap ``decode_image`` for a PIL/libav call in a real
-deployment; nothing else changes.
+r4 also made MJPEG-AVI video REAL (``kernel.videox`` RIFF walk over the
+JPEG codec — see sample_frames) and WAV audio REAL (``kernel.wavx``, see
+extract_audio_features). Remaining fallback-to-stub formats when
+``fake=True`` (raise when ``fake=False``): arithmetic-coded/12-bit/
+hierarchical JPEG, sub-8-bit PNG, non-MJPEG video codecs (H.26x/VP9 —
+genuinely need libav) and compressed audio (MP3/AAC); nothing else
+changes when those are swapped in.
 
 Batch shape: mapInPandas receives Arrow record batches
 (spark.sql.execution.arrow.maxRecordsPerBatch rows); each batch is processed
