@@ -281,6 +281,62 @@ def q_txt_gopher_rules(spark, sf):
         & (F.col("alpha_frac") >= 0.8) & (F.col("stop_hits") >= 2))
 
 
+def q_txt_c4_rules(spark, sf):
+    """C4-style page cleaning [Raffel et al. 2020, arXiv:1910.10683 §2.2],
+    the other standard pre-training filter alongside txt_gopher_rules:
+    keep only lines that end in terminal punctuation ('.', '!', '?', '\"'),
+    have >= 3 words and don't mention javascript; then keep the page only
+    if the cleaned text has >= 5 sentences and the page has no
+    'lorem ipsum' and no '{'. Output includes md5 of the cleaned text, so
+    the ORACLE certifies the exact filtered byte stream, not just counts.
+    Row-local JVM string functions, zero shuffle.
+
+    The synthetic documents table is punctuation- and newline-free, so the
+    op first derives a deterministic PAGE from each doc (the mm_* ops'
+    formula-payload pattern, replayed identically in SQL): sentence breaks
+    at every ' spark ' token, a trailing period, plus per-doc_id trigger
+    lines (javascript boilerplate for d%7=0, lorem ipsum for d%11=0, a
+    code brace for d%13=0) so every rule actually fires across the
+    corpus."""
+    d = load(spark, sf, "documents")
+    txt = F.concat(
+        F.expr("replace(text, ' spark ', concat('.', chr(10), 'spark '))"),
+        F.lit("."),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.expr("chr(10)"),
+                        F.lit("javascript ad tracker line.")))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.concat(F.expr("chr(10)"),
+                        F.lit("lorem ipsum dolor sit amet.")))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0,
+               F.concat(F.expr("chr(10)"),
+                        F.lit("function() { return 1; }")))
+         .otherwise(F.lit("")))
+    lines = F.split(txt, "\n")
+    kept = F.filter(
+        lines,
+        lambda l: F.trim(l).rlike('[.!?"]$')
+        & (F.size(F.split(F.trim(l), r"\s+")) >= 3)
+        & ~F.lower(l).contains("javascript"))
+    kept_text = F.array_join(F.transform(kept, lambda l: F.trim(l)), "\n")
+    sentences = (F.length(kept_text)
+                 - F.length(F.translate(kept_text, ".!?", "")))
+    return d.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        F.length(kept_text).alias("kept_chars"),
+        sentences.alias("kept_sentences"),
+        F.lower(txt).contains("lorem ipsum").alias("has_lorem"),
+        txt.contains("{").alias("has_brace"),
+        F.md5(kept_text).alias("kept_md5"),
+        ((sentences >= 5)
+         & ~F.lower(txt).contains("lorem ipsum")
+         & ~txt.contains("{")).alias("keep"))
+
+
 def q_txt_term_doc_stats(spark, sf):
     """Term dictionary with df/cf (CreateWordList.cpp:22-109)."""
     d = load(spark, sf, "documents")
@@ -1433,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_orc_roundtrip": q_src_orc_roundtrip,
         "txt_bpe_token_count": q_txt_bpe_token_count,
         "txt_gopher_rules": q_txt_gopher_rules,
+        "txt_c4_rules": q_txt_c4_rules,
         "sim_ann_ivf": q_sim_ann_ivf,  # oracle prelude refactored r4
         "txt_repetition": q_txt_repetition,
         "txt_neardup_groups": q_txt_neardup_groups,
@@ -2530,6 +2587,53 @@ def oracle_sql() -> dict[str, str]:
     sql['src_iceberg_roundtrip'] = sql['src_json_roundtrip']
     sql['src_csv_roundtrip'] = sql['src_json_roundtrip']
     sql['src_orc_roundtrip'] = sql['src_json_roundtrip']
+    sql['txt_c4_rules'] = """
+            WITH page AS (
+              SELECT doc_id,
+                     replace(text, ' spark ', '.' || chr(10) || 'spark ')
+                     || '.'
+                     || CASE WHEN doc_id % 7 = 0 THEN chr(10)
+                             || 'javascript ad tracker line.' ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0 THEN chr(10)
+                             || 'lorem ipsum dolor sit amet.' ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0 THEN chr(10)
+                             || 'function() { return 1; }' ELSE '' END
+                         AS text
+              FROM documents),
+            base AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(text, chr(10)) AS lines
+              FROM page),
+            k AS (
+              SELECT doc_id, text, lines,
+                     list_filter(lines, l ->
+                         regexp_matches(trim(l), '[.!?\"]$')
+                         AND len(regexp_split_to_array(trim(l),
+                                                       '\\s+')) >= 3
+                         AND NOT contains(lower(l), 'javascript'))
+                         AS kept
+              FROM base),
+            t AS (
+              SELECT doc_id, text, lines, kept,
+                     coalesce(array_to_string(
+                         list_transform(kept, l -> trim(l)), chr(10)), '')
+                         AS kept_text
+              FROM k)
+            SELECT doc_id,
+                   CAST(len(lines) AS INT) AS n_lines,
+                   CAST(len(kept) AS INT) AS n_kept_lines,
+                   CAST(len(kept_text) AS INT) AS kept_chars,
+                   CAST(len(kept_text)
+                        - len(translate(kept_text, '.!?', '')) AS INT)
+                       AS kept_sentences,
+                   contains(lower(text), 'lorem ipsum') AS has_lorem,
+                   contains(text, '{') AS has_brace,
+                   md5(kept_text) AS kept_md5,
+                   (len(kept_text) - len(translate(kept_text, '.!?', ''))
+                        >= 5
+                    AND NOT contains(lower(text), 'lorem ipsum')
+                    AND NOT contains(text, '{')) AS keep
+            FROM t"""
     _gstops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
     sql['txt_gopher_rules'] = f"""
             WITH base AS (
