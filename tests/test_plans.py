@@ -99,7 +99,8 @@ def test_pipeline_ops_plan_shapes(spark):
     groupBy — the doc-side join must NOT be a shuffle join)."""
     import __spark_entry__ as E
     qs = E.queries()
-    for op in ("txt_pii_scrub", "txt_bpe_token_count"):
+    for op in ("txt_pii_scrub", "txt_bpe_token_count", "txt_c4_rules",
+               "txt_gopher_rules"):
         plan = _plan(qs[op](spark, SF))
         for marker in ("Exchange", "BatchEvalPython", "ArrowEvalPython",
                        "MapInPandas", "Join"):
