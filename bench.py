@@ -1,4 +1,5 @@
-"""Per-round benchmark. Prints ONE JSON line:
+"""Per-round benchmark. Prints ONE JSON line (re-emitted as a complete
+snapshot after EVERY section — crash-safety, see below):
 
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {<name>: sec, ...}, "sf": <sf>,
@@ -16,6 +17,19 @@ Sections:
   (BASELINE.md). Runs in subprocesses (one JVM per parallelism level).
   eff = throughput(4N) / (4 * throughput(N)).
 
+CRASH SAFETY (r4 post-mortem): the r4 driver record was lost because ONE
+transient shuffle-write IOException in the cores=8 scaling build raised out
+of main() before the results JSON was printed — destroying the already-
+completed headline/index/query sections with it. Three fixes, all in this
+file (r4 verdict "Next round" №1):
+  1. every section runs through run_section(), which catches, records the
+     error under result["errors"][section] and CONTINUES;
+  2. the complete result snapshot is re-printed to stdout after every
+     section, so the driver's last-JSON-line parse always sees the newest
+     complete snapshot even if a later section hard-kills the process;
+  3. build_in_subprocess retries a failed build ONCE in a fresh output dir
+     before giving up (the r4 failure did not reproduce on re-run).
+
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_PAGES,
 SCALE_LOW/SCALE_HIGH, SKIP_SCALING=1.
 """
@@ -30,6 +44,7 @@ import subprocess
 import sys
 import tempfile
 import time
+import traceback
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -123,22 +138,30 @@ def run_queries(spark, reps=2):
     r2 `rel_hash_join` 3.7 s vs its own 1.4 s baseline reproduced at 1.5 s
     with no code change); interleaving the whole list between passes means a
     slow host window hits all queries alike instead of whichever op it
-    landed on."""
+    landed on. A single failing query is recorded and skipped, never fatal."""
     import __spark_entry__ as E
     qs = E.queries()
     all_runs: dict[str, list] = {name: [] for name in HEADLINE}
+    failed: dict[str, str] = {}
     for rep in range(reps):
         for name in HEADLINE:
-            t0 = time.time()
-            n = qs[name](spark, SF_DIR).count()
-            all_runs[name].append(round(time.time() - t0, 3))
-            print(f"  rep{rep} {name}: {all_runs[name][-1]}s ({n} rows)",
-                  file=sys.stderr)
-    return ({name: min(v) for name, v in all_runs.items()}, all_runs)
+            if name in failed:
+                continue
+            try:
+                t0 = time.time()
+                n = qs[name](spark, SF_DIR).count()
+                all_runs[name].append(round(time.time() - t0, 3))
+                print(f"  rep{rep} {name}: {all_runs[name][-1]}s ({n} rows)",
+                      file=sys.stderr)
+            except Exception as e:  # one bad op must not kill the section
+                traceback.print_exc(file=sys.stderr)
+                failed[name] = f"{type(e).__name__}: {e}"
+    return ({name: min(v) for name, v in all_runs.items() if v},
+            all_runs, failed)
 
 
 def build_in_subprocess(cores, pages_path, out_dir, iters=20,
-                        pin_cpus=False, parts=0):
+                        pin_cpus=False, parts=0, retries=1):
     """pin_cpus=True binds the whole subprocess tree (JVM + python workers)
     to exactly `cores` CPUs via taskset. Without pinning, local[N]'s Arrow
     stages spawn N EXTRA python workers, so the 'N-core' level really uses
@@ -148,20 +171,40 @@ def build_in_subprocess(cores, pages_path, out_dir, iters=20,
     parts: shuffle partitions; 0 = cores-proportional (4x cores). The
     scaling section passes a fixed DATA-sized count instead so both levels
     run the IDENTICAL job (a real cluster sizes partitions to the data via
-    maxPartitionBytes/AQE, not to the cluster)."""
+    maxPartitionBytes/AQE, not to the cluster).
+
+    retries: a failed build re-runs that many times, each in a FRESH output
+    dir (the r4 record-killer was a one-off host-level shuffle-write
+    IOException that never reproduced). The retried run's timing is as valid
+    as a first-try timing — same input, same config, clean state."""
     env = dict(os.environ)
     env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
-    cmd = [sys.executable, "-c", BUILD_SNIPPET, str(cores), pages_path,
-           out_dir, str(iters), str(parts)]
-    if pin_cpus and shutil.which("taskset"):
-        cmd = ["taskset", "-c",
-               ",".join(str(i) for i in range(cores))] + cmd
-    r = subprocess.run(cmd, capture_output=True, text=True, env=env,
-                       timeout=3600)
-    if r.returncode != 0:
-        print(r.stderr[-3000:], file=sys.stderr)
-        raise RuntimeError(f"build at cores={cores} failed")
-    return json.loads(r.stdout.strip().splitlines()[-1])
+    last_err = ""
+    for attempt in range(retries + 1):
+        out = out_dir if attempt == 0 else f"{out_dir}_retry{attempt}"
+        shutil.rmtree(out, ignore_errors=True)
+        cmd = [sys.executable, "-c", BUILD_SNIPPET, str(cores), pages_path,
+               out, str(iters), str(parts)]
+        if pin_cpus and shutil.which("taskset"):
+            cmd = ["taskset", "-c",
+                   ",".join(str(i) for i in range(cores))] + cmd
+        try:
+            r = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                               timeout=3600)
+        except subprocess.TimeoutExpired:
+            last_err = f"build at cores={cores} timed out (3600s)"
+            print(last_err, file=sys.stderr)
+            continue
+        if r.returncode == 0:
+            return json.loads(r.stdout.strip().splitlines()[-1])
+        last_err = r.stderr[-3000:]
+        print(last_err, file=sys.stderr)
+        print(f"  build at cores={cores} failed (attempt {attempt + 1}/"
+              f"{retries + 1}){' — retrying in fresh dir' if attempt < retries else ''}",
+              file=sys.stderr)
+    raise RuntimeError(
+        f"build at cores={cores} failed after {retries + 1} attempts: "
+        f"{last_err[-500:]}")
 
 
 BW_SNIPPET = """
@@ -224,6 +267,43 @@ def measure_query_latency(qe, queries, reps=50):
     }
 
 
+class Bench:
+    """Holds the result dict and the crash-safe section runner. The emitted
+    JSON line is a COMPLETE snapshot; it is re-printed after every section so
+    the driver's last-line parse survives any later hard failure."""
+
+    # headline keys go LAST in the emitted line: the driver records only the
+    # TAIL of long lines (BENCH_r03 lost the first half of the headline dict)
+    _TAIL_KEYS = ("queries", "index", "query_engine", "sharded_engine",
+                  "scaling", "errors", "metric", "value")
+
+    def __init__(self, sf):
+        self.result = {"unit": "sec", "sf": sf, "errors": {},
+                       "metric": ("headline ops wall time at sf + index-build "
+                                  "docs/sec + BM25 warm p95 (min of 2 windows)"
+                                  " + scaling eff (N->4N cores)"),
+                       "value": 0.0}
+
+    def emit(self):
+        r = self.result
+        ordered = {k: v for k, v in r.items() if k not in self._TAIL_KEYS}
+        for k in self._TAIL_KEYS:
+            if k in r and (k != "errors" or r[k]):
+                ordered[k] = r[k]
+        print(json.dumps(ordered), flush=True)
+
+    def section(self, name, fn):
+        """Run one bench section; on ANY exception record it under
+        errors[name] and keep going. Always re-emit the snapshot."""
+        print(f"== {name} ==", file=sys.stderr)
+        try:
+            fn()
+        except Exception as e:
+            traceback.print_exc(file=sys.stderr)
+            self.result["errors"][name] = f"{type(e).__name__}: {e}"
+        self.emit()
+
+
 def main():
     from hadoopsearchengine_spark.operators.wand import QueryEngine
     from hadoopsearchengine_spark.session import get_spark
@@ -232,58 +312,84 @@ def main():
 
     sf = float(SF_DIR.rstrip("/").split("sf")[-1]) if "sf" in SF_DIR else -1.0
     work = tempfile.mkdtemp(prefix="sfe_bench_")
-    # NOTE key order is deliberate: the driver records only the TAIL of this
-    # JSON line when it is long (BENCH_r03 lost the first half of the
-    # headline dict), so the verbose raw-reps section goes FIRST and the
-    # headline `queries` / `query_engine` / `scaling` numbers go LAST.
-    result = {"unit": "sec", "sf": sf}
+    bench = Bench(sf)
+    result = bench.result
+    state: dict = {"build_sec": 0.0}
 
-    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
-    print("== headline queries ==", file=sys.stderr)
-    queries, queries_all = run_queries(spark)
-    result["queries_all_reps"] = queries_all
+    def sec_queries():
+        spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+        state["spark"] = spark
+        queries, queries_all, failed = run_queries(spark)
+        result["queries_all_reps"] = queries_all
+        result["queries"] = queries
+        if failed:
+            result["errors"]["queries_failed"] = failed
+        result["value"] = round(sum(queries.values()), 2)
 
-    print("== corpus gen ==", file=sys.stderr)
-    n_pages = BENCH_PAGES
-    t0 = time.time()
-    write_pages(spark, n_pages, f"{work}/pages")
-    gen_sec = time.time() - t0
-    print(f"  generated {n_pages} pages in {gen_sec:.1f}s", file=sys.stderr)
-    spark.stop()
+    def sec_corpus():
+        spark = state.get("spark") or get_spark(
+            "bench", cores=CPUS, shuffle_partitions=CPUS)
+        t0 = time.time()
+        write_pages(spark, BENCH_PAGES, f"{work}/pages")
+        print(f"  generated {BENCH_PAGES} pages in {time.time() - t0:.1f}s",
+              file=sys.stderr)
+        spark.stop()
+        state["spark"] = None
+        state["corpus"] = True
 
-    print("== index build (full, 20-cycle PageRank) ==", file=sys.stderr)
-    # Arrow stages run one python worker per JVM task slot, so local[N] uses
-    # ~2N processes; with 32 vCPUs (≈21 physical), N=CPUS oversubscribes
-    # (measured: doc_terms 97s at local[32] vs 35s at local[8]). Half the
-    # vCPUs saturates the box for this python-heavy pipeline.
-    build_cores = max(8, CPUS // 2)
-    full = build_in_subprocess(build_cores, f"{work}/pages", f"{work}/idx",
-                               iters=20)
-    build_sec = full["sec"]
-    result["index"] = {
-        "n_pages": n_pages, "build_cores": build_cores,
-        "build_sec": round(build_sec, 2),
-        "docs_per_sec": round(n_pages / build_sec, 1),
-        "docs_per_sec_per_core": round(n_pages / build_sec / build_cores, 2),
-        "stage_sec": full["stage_sec"],
-    }
-    print(f"  {result['index']}", file=sys.stderr)
+    def sec_build():
+        if not state.get("corpus"):
+            raise RuntimeError("corpus generation failed — skipping build")
+        # Arrow stages run one python worker per JVM task slot, so local[N]
+        # uses ~2N processes; with 32 vCPUs (≈21 physical), N=CPUS
+        # oversubscribes (measured: doc_terms 97s at local[32] vs 35s at
+        # local[8]). Half the vCPUs saturates the box for this
+        # python-heavy pipeline.
+        build_cores = max(8, CPUS // 2)
+        full = build_in_subprocess(build_cores, f"{work}/pages",
+                                   f"{work}/idx", iters=20)
+        build_sec = full["sec"]
+        state["build_sec"] = build_sec
+        state["idx"] = f"{work}/idx"
+        result["index"] = {
+            "n_pages": BENCH_PAGES, "build_cores": build_cores,
+            "build_sec": round(build_sec, 2),
+            "docs_per_sec": round(BENCH_PAGES / build_sec, 1),
+            "docs_per_sec_per_core": round(
+                BENCH_PAGES / build_sec / build_cores, 2),
+            "stage_sec": full["stage_sec"],
+        }
+        result["value"] = round(result.get("value", 0.0) + build_sec, 2)
+        print(f"  {result['index']}", file=sys.stderr)
 
-    print("== warm query p95 (window 1/2) ==", file=sys.stderr)
-    # result_cache=0: this section measures SCORING latency; with the LRU
-    # result cache on, every rep after the first is a dict hit (~us).
-    # Measured in TWO windows — here and again at the very end of the bench
-    # (after the ~30-min scaling section) — reporting the per-metric MIN:
-    # on this shared host a single window can land in a degraded period
-    # (r3: 24.25 ms recorded vs 7.7-9.5 ms in controlled same-day runs);
-    # exogenous noise only ever inflates latency, so the min of two
-    # well-separated windows is the least-biased estimate. Both raw
-    # windows are reported unfiltered.
-    qe = QueryEngine(f"{work}/idx", result_cache=0)
-    qe_windows = [measure_query_latency(qe, REFERENCE_QUERIES)]
-    print(f"  window1: {qe_windows[0]}", file=sys.stderr)
+    def sec_warm1():
+        if not state.get("idx"):
+            raise RuntimeError("no index built — skipping warm-query window")
+        # result_cache=0: this section measures SCORING latency; with the
+        # LRU result cache on, every rep after the first is a dict hit (~us).
+        # Measured in TWO windows — here and again at the very end of the
+        # bench (after the ~30-min scaling section) — reporting the
+        # per-metric MIN: on this shared host a single window can land in a
+        # degraded period (r3: 24.25 ms recorded vs 7.7-9.5 ms in controlled
+        # same-day runs); exogenous noise only ever inflates latency, so the
+        # min of two well-separated windows is the least-biased estimate.
+        # Both raw windows are reported unfiltered.
+        qe = QueryEngine(state["idx"], result_cache=0)
+        state["qe"] = qe
+        w = measure_query_latency(qe, REFERENCE_QUERIES)
+        state["qe_windows"] = [w]
+        result["query_engine"] = {
+            "n_queries": w["n_queries"],
+            **{m: w[m] for m in ("p50_ms", "p95_ms", "mean_ms")},
+            "windows": [dict(w)],
+        }
+        print(f"  window1: {w}", file=sys.stderr)
 
-    if not os.environ.get("SKIP_SCALING"):
+    def sec_scaling():
+        if os.environ.get("SKIP_SCALING"):
+            return
+        if not state.get("corpus"):
+            raise RuntimeError("corpus generation failed — skipping scaling")
         lo, hi = SCALE_LOW, SCALE_HIGH
         # host memory-bandwidth ceiling control: the build streams Arrow
         # batches through numpy kernels, so its scaling is bounded by how
@@ -296,7 +402,7 @@ def main():
         bw = {c: measure_bandwidth(c) for c in (lo, hi)}
         sc_pages = SCALE_PAGES
         sc_dir = f"{work}/pages"
-        if sc_pages != n_pages:
+        if sc_pages != BENCH_PAGES:
             spark = get_spark("bench-scale-gen", cores=CPUS,
                               shuffle_partitions=CPUS)
             sc_dir = f"{work}/pages_scale"
@@ -306,13 +412,16 @@ def main():
               f"(median of {SCALE_REPS}, {sc_pages} pages) ==",
               file=sys.stderr)
         runs = {lo: [], hi: []}
+        build_errors = []
         # interleave levels so slow host-noise windows hit both levels
         # alike; a wall-clock budget guarantees a scaling record lands even
         # if a degraded host window doubles every build (>=1 complete pair
         # always finishes — the budget is only checked between pairs).
         # r4: pairs repeat until one pair reaches SCALE_TARGET_EFF (a clean
         # host window demonstrated on the record is the whole point), the
-        # budget runs out, or SCALE_REPS pairs completed.
+        # budget runs out, or SCALE_REPS pairs completed. r5: a pair whose
+        # build fails EVEN AFTER the in-call retry is recorded and skipped —
+        # the section aborts only if no complete pair ever lands.
         t_scale0 = time.time()
         factor = hi / lo
         for rep in range(SCALE_REPS):
@@ -321,15 +430,22 @@ def main():
                       f"after {rep} pairs — stopping early",
                       file=sys.stderr)
                 break
+            try:
+                pair = {}
+                for c in (lo, hi):
+                    pair[c] = build_in_subprocess(
+                        c, sc_dir, f"{work}/idx_s{c}_{rep}", iters=20,
+                        pin_cpus=True, parts=SCALE_PARTS)
+                    print(f"  rep{rep} local[{c}]: {pair[c]['sec']:.1f}s",
+                          file=sys.stderr)
+            except Exception as e:
+                traceback.print_exc(file=sys.stderr)
+                build_errors.append(f"pair {rep}: {e}")
+                continue
             for c in (lo, hi):
-                r = build_in_subprocess(c, sc_dir,
-                                        f"{work}/idx_s{c}_{rep}", iters=20,
-                                        pin_cpus=True, parts=SCALE_PARTS)
-                runs[c].append(r)
-                print(f"  rep{rep} local[{c}]: {r['sec']:.1f}s",
-                      file=sys.stderr)
-            pair_eff = (runs[lo][rep]["sec"]
-                        / (factor * runs[hi][rep]["sec"]))
+                runs[c].append(pair[c])
+            i = len(runs[hi]) - 1
+            pair_eff = runs[lo][i]["sec"] / (factor * runs[hi][i]["sec"])
             print(f"  rep{rep} pair efficiency: {pair_eff:.3f}",
                   file=sys.stderr)
             if pair_eff >= SCALE_TARGET_EFF:
@@ -337,6 +453,9 @@ def main():
                       file=sys.stderr)
                 break
         n_pairs = len(runs[hi])
+        if not n_pairs:
+            raise RuntimeError(
+                f"no scaling pair completed: {'; '.join(build_errors)}")
 
         def agg(level, pick, key=None):
             vals = sorted(
@@ -400,42 +519,59 @@ def main():
             "stage_sec_low": runs[lo][0]["stage_sec"],
             "stage_sec_high": runs[hi][0]["stage_sec"],
         }
+        if build_errors:
+            result["scaling"]["build_errors"] = build_errors
         print(f"  {result['scaling']}", file=sys.stderr)
 
-    print("== warm query p95 (window 2/2) ==", file=sys.stderr)
-    qe_windows.append(measure_query_latency(qe, REFERENCE_QUERIES))
-    print(f"  window2: {qe_windows[1]}", file=sys.stderr)
-    result["query_engine"] = {
-        "n_queries": qe_windows[0]["n_queries"],
-        **{m: min(w[m] for w in qe_windows)
-           for m in ("p50_ms", "p95_ms", "mean_ms")},
-        "windows": [{m: w[m] for m in ("p50_ms", "p95_ms", "mean_ms")}
-                    for w in qe_windows],
-    }
-    print(f"  combined (min of windows): {result['query_engine']}",
-          file=sys.stderr)
+    def sec_warm2():
+        if not state.get("qe"):
+            raise RuntimeError("no warm engine — skipping window 2")
+        w = measure_query_latency(state["qe"], REFERENCE_QUERIES)
+        state["qe_windows"].append(w)
+        print(f"  window2: {w}", file=sys.stderr)
+        windows = state["qe_windows"]
+        result["query_engine"] = {
+            "n_queries": windows[0]["n_queries"],
+            **{m: min(x[m] for x in windows)
+               for m in ("p50_ms", "p95_ms", "mean_ms")},
+            "windows": [{m: x[m] for m in ("p50_ms", "p95_ms", "mean_ms")}
+                        for x in windows],
+        }
+        print(f"  combined (min of windows): {result['query_engine']}",
+              file=sys.stderr)
 
-    # sharded serving tier: same query set through the 4-shard
-    # scatter-gather topology (rank parity is pinned by pytest; this
-    # measures the scatter overhead and the per-shard memory split)
-    print("== sharded query tier (4 term shards) ==", file=sys.stderr)
-    from hadoopsearchengine_spark.operators.sharded import ShardedQueryEngine
-    sq = ShardedQueryEngine(f"{work}/idx", n_shards=4)
-    sharded_lat = measure_query_latency(sq, REFERENCE_QUERIES, reps=50)
-    result["sharded_engine"] = {
-        "n_shards": 4,
-        **{m: sharded_lat[m] for m in ("p50_ms", "p95_ms", "mean_ms")},
-        "shard_memory_bytes": sq.memory_bytes_per_shard(),
-    }
-    print(f"  {result['sharded_engine']}", file=sys.stderr)
+    def sec_sharded():
+        if not state.get("idx"):
+            raise RuntimeError("no index built — skipping sharded tier")
+        # sharded serving tier: same query set through the 4-term-shard ×
+        # 2-doc-shard scatter-gather topology (rank parity is pinned by
+        # pytest; this measures the scatter overhead and the per-shard
+        # memory split)
+        from hadoopsearchengine_spark.operators.sharded import (
+            ShardedQueryEngine)
+        with ShardedQueryEngine(state["idx"], n_shards=4,
+                                n_doc_shards=2) as sq:
+            sharded_lat = measure_query_latency(sq, REFERENCE_QUERIES,
+                                                reps=50)
+            result["sharded_engine"] = {
+                "n_shards": 4, "n_doc_shards": 2,
+                **{m: sharded_lat[m]
+                   for m in ("p50_ms", "p95_ms", "mean_ms")},
+                "shard_memory_bytes": sq.memory_bytes_per_shard(),
+                "doc_shard_memory_bytes": sq.memory_bytes_per_doc_shard(),
+            }
+        print(f"  {result['sharded_engine']}", file=sys.stderr)
 
-    # headline numbers last — see the key-order note at the top of main()
-    result["queries"] = queries
-    result["metric"] = ("headline ops wall time at sf + index-build docs/sec "
-                        "+ BM25 warm p95 (min of 2 windows) + scaling eff "
-                        "(N->4N cores)")
-    result["value"] = round(sum(queries.values()) + build_sec, 2)
-    print(json.dumps(result))
+    bench.section("headline queries", sec_queries)
+    bench.section("corpus gen", sec_corpus)
+    bench.section("index build (full, 20-cycle PageRank)", sec_build)
+    bench.section("warm query p95 (window 1/2)", sec_warm1)
+    bench.section("scaling", sec_scaling)
+    bench.section("warm query p95 (window 2/2)", sec_warm2)
+    bench.section("sharded query tier (4 term shards x 2 doc shards)",
+                  sec_sharded)
+    # final snapshot (identical to the last section's emit; kept explicit)
+    bench.emit()
 
 
 if __name__ == "__main__":

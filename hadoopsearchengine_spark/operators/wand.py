@@ -577,6 +577,94 @@ class QueryEngine:
                 for t in sorted(set(tokenize(query)))
                 if t not in self.term_id}
 
+    def _query_tids(self, query: str) -> tuple[list[int], dict[int, float]]:
+        """(term_ids, {term_id: idf}) for the query terms THIS engine's
+        dictionary slice holds."""
+        qterms = sorted(set(tokenize(query)))
+        tids = [int(self.term_id[t]) for t in qterms if t in self.term_id]
+        idfs = {int(self.term_id[t]): float(bm25.idf(int(self.term_df[t]),
+                                                     self.n_docs))
+                for t in qterms if t in self.term_id}
+        return tids, idfs
+
+    def open_scatter(self, query: str):
+        """Open a range-at-a-time scatter handle — the shard half of the
+        gather-fed-theta protocol (r4 verdict Next №4; the latency upgrade
+        the r4 sharded tier documented but served exhaustively). The handle
+        carries this shard's block METADATA for the query (min_doc/max_doc/
+        max_score per block — bytes-tiny: the reference ships the same
+        segment bounds to the query server, SearchHitItems.h:131-254) plus
+        lazy decode state. The gather tier merges every shard's metadata
+        into the SAME global range sweep the single engine runs, then calls
+        ``score_range`` only for ranges whose summed block-max upper bound
+        can still beat the current k-th score — so each shard decodes
+        exactly the blocks the single-engine WAND would have. Returns None
+        when no query term lands on this shard."""
+        tids, idfs = self._query_tids(query)
+        if not tids:
+            return None
+        V, rows, gkeys = self._load_blocks(tids, False)
+        if rows.size == 0:
+            return None
+        term_ids_arr = V["term_id"][rows]
+        t_begin = np.flatnonzero(
+            np.r_[True, term_ids_arr[1:] != term_ids_arr[:-1]])
+        t_end = np.append(t_begin[1:], term_ids_arr.size)
+        return {
+            "V": V, "rows": rows, "gkeys": gkeys, "idfs": idfs,
+            "term_ids": term_ids_arr, "t_begin": t_begin, "t_end": t_end,
+            "blk_min": V["min_doc"][rows], "blk_max": V["max_doc"][rows],
+            # max_score already stores max(prior * contrib) per block
+            # (plans/build_index.py), so the gather's summed range bound
+            # upper-bounds every doc's full prior-weighted score — the same
+            # rank-exactness argument as the single-engine WAND
+            "blk_ms": V["max_score"][rows],
+            "blocks_scored": 0,
+        }
+
+    def score_range(self, h: dict, lo: int, hi: int) \
+            -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, contribs) of this shard's blocks overlapping doc range
+        [lo, hi) — raw per-term BM25 contributions, NO prior (the doc tier
+        owns priors and applies them at gather). Decoded payloads go through
+        the engine's cross-query ``_dec_plain`` LRU exactly like search()."""
+        idx = blocks_in_range(h["t_begin"], h["t_end"],
+                              h["blk_min"], h["blk_max"], lo, hi)
+        V, rows, gkeys = h["V"], h["rows"], h["gkeys"]
+        has_gidx = gkeys is not None
+        all_d, all_c = [], []
+        for bi in idx:
+            bi = int(bi)
+            key = int(gkeys[bi]) if has_gidx else (id(h), bi)
+            got = self._dec_plain.get(key)
+            if got is None:
+                g = rows[bi]
+                ids = decode_deltas(V["doc_gaps"][g]).astype(np.int64)
+                raw = decode_tfs(V["tfs"][g]).astype(np.float64)
+                got = (ids, raw, raw)
+                self._dec_plain[key] = got
+            ids, tfs, raw = got
+            l = int(np.searchsorted(ids, lo))
+            r = int(np.searchsorted(ids, hi))
+            if l == r:
+                continue
+            dids, btfs, braw = ids[l:r], tfs[l:r], raw[l:r]
+            nz = np.flatnonzero(braw > 0)  # anchor-only rows: no body match
+            if nz.size == 0:
+                continue
+            if nz.size < dids.size:
+                dids, btfs = dids[nz], btfs[nz]
+            h["blocks_scored"] += 1
+            all_d.append(dids)
+            all_c.append(bm25.contrib(btfs,
+                                      self.doc_len[dids - self._doc_base],
+                                      self.avgdl,
+                                      h["idfs"][int(h["term_ids"][bi])]))
+        if not all_d:
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.float64))
+        return np.concatenate(all_d), np.concatenate(all_c)
+
     def shard_contributions(self, query: str) \
             -> tuple[np.ndarray, np.ndarray]:
         """Scatter half of the sharded serving topology: summed BM25
