@@ -1171,6 +1171,39 @@ def q_src_iceberg_roundtrip(spark, sf):
                  F.round(F.sum("value"), 4).alias("total_value")))
 
 
+def q_src_iceberg_deletes(spark, sf):
+    """Iceberg v2 MERGE-ON-READ coverage (r4 verdict Missing №5): events
+    land in a v2 table, a position-delete snapshot removes every row with
+    event_id % 7 == 0, and the jar-less reader must return exactly the
+    survivors (deletes applied as a broadcast anti-join on
+    (_metadata.file_path, _metadata.row_index) — sources/iceberg.py). The
+    per-file position scan below is TEST-FIXTURE setup (a production writer
+    knows its positions); the engine path under test is the read."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from hadoopsearchengine_spark.sources.iceberg import (
+        iceberg_data_files, read_iceberg_table, write_iceberg_table,
+        write_position_deletes)
+
+    ev = load(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    out = tempfile.mkdtemp(prefix="sfe_iced_")
+    write_iceberg_table(ev, f"{out}/events_tbl")
+    dels = []
+    for p in iceberg_data_files(f"{out}/events_tbl"):
+        ids = pq.read_table(p, columns=["event_id"])["event_id"].to_numpy()
+        dels.extend((p, int(pos))
+                    for pos in np.flatnonzero(ids % 7 == 0))
+    write_position_deletes(f"{out}/events_tbl", dels)
+    back = read_iceberg_table(spark, f"{out}/events_tbl")
+    return (back.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("total_value")))
+
+
 def q_src_csv_roundtrip(spark, sf):
     """CSV source coverage (SURVEY §2.4): events written as headered CSV and
     read back with an explicit schema aggregate identically to the parquet
@@ -1467,6 +1500,28 @@ def q_graph_expected_reward(spark, sf):
     return expected_reward(cands, edges, iterations=EXPREW_ITERS,
                            threshold=EXPREW_TH)
 
+
+KWDIST_CAND_K = 50   # candidate pool for the keyword-distribution re-rank
+
+
+def q_graph_keyword_distribution(spark, sf):
+    """Keyword-distribution re-rank over the flagship query's BM25
+    candidates (reference CompileRankedList.h:341-364 + KeywordSet.h:383-421
+    — the last §2.3 final-ranking ingredient, r4 verdict Missing №3): every
+    keyword of a candidate doc accumulates +1 occurrence across the
+    candidate set; each doc scores sum(min(occur, 8)) over its keywords;
+    docs under 10% of the max are cut (is_red) and survivors re-rank. The
+    per-doc keyword sets are the top-3 tf-idf terms (the same table
+    txt_keywords_tfidf pins). All aggregates are candidate-sized
+    (operators/kwdist.py docstring)."""
+    from hadoopsearchengine_spark.operators.kwdist import (
+        keyword_distribution)
+
+    cands = _bm25_topk(spark, sf, KWDIST_CAND_K)
+    kw = q_txt_keywords_tfidf(spark, sf).select(
+        "doc_id", F.col("token").alias("keyword"))
+    return keyword_distribution(cands, kw)
+
 # --------------------------------------------------------------------------
 # driver surface
 # --------------------------------------------------------------------------
@@ -1480,22 +1535,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's first-50 correctness window always covers every
     # op changed since its last green check, plus a rotating slice of the
     # long-unchanged green ops; oldest byte-identical green entries sit last.
+    # r5 window: the 2 new ops, the 5 ops whose code/oracle changed this
+    # round, then the 18 entries whose last driver check was r3 (r4 verdict
+    # Next №2 — every entry's driver evidence stays <= 2 rounds old), then
+    # r4-green fill; the overflow tail is all r4-green and byte-unchanged.
     return {
-        "graph_keyword_pagerank": q_graph_keyword_pagerank,
-        "sim_semdedup": q_sim_semdedup,
-        "graph_expected_reward": q_graph_expected_reward,
+        # -- new in r5 --
+        "graph_keyword_distribution": q_graph_keyword_distribution,
+        "src_iceberg_deletes": q_src_iceberg_deletes,
+        # -- implementation touched in r5 --
         "src_iceberg_roundtrip": q_src_iceberg_roundtrip,
-        "src_csv_roundtrip": q_src_csv_roundtrip,
-        "src_orc_roundtrip": q_src_orc_roundtrip,
+        "mm_audio_features": q_mm_audio_features,
+        "sim_semdedup": q_sim_semdedup,
+        "sim_ann_ivf": q_sim_ann_ivf,
+        "graph_expected_reward": q_graph_expected_reward,
+        # -- last driver check r3; rotated into the window --
+        "rel_key_occurrence": q_rel_key_occurrence,
+        "rel_key_weight": q_rel_key_weight,
+        "rel_dup_key_weight": q_rel_dup_key_weight,
+        "rel_merge_set": q_rel_merge_set,
+        "rel_kth_order_stat": q_rel_kth_order_stat,
+        "rel_sort_merge_join": q_rel_sort_merge_join,
+        "rel_semi_anti": q_rel_semi_anti,
+        "rel_hash_join": q_rel_hash_join,
+        "rel_distinct_agg": q_rel_distinct_agg,
+        "rel_set_ops": q_rel_set_ops,
+        "evt_asof_join": q_evt_asof_join,
+        "evt_json_extract": q_evt_json_extract,
+        "txt_cooccur": q_txt_cooccur,
+        "txt_keywords_tfidf": q_txt_keywords_tfidf,
+        "txt_stem_suffixes": q_txt_stem_suffixes,
+        "txt_winnow_fp": q_txt_winnow_fp,
+        "txt_phrase_match": q_txt_phrase_match,
+        "graph_pagerank": q_graph_pagerank,
+        # -- r4-green fill to 50 --
+        "graph_keyword_pagerank": q_graph_keyword_pagerank,
+        "graph_keyword_links": q_graph_keyword_links,
         "txt_bpe_token_count": q_txt_bpe_token_count,
         "txt_gopher_rules": q_txt_gopher_rules,
         "txt_c4_rules": q_txt_c4_rules,
-        "sim_ann_ivf": q_sim_ann_ivf,  # oracle prelude refactored r4
         "txt_repetition": q_txt_repetition,
         "txt_neardup_groups": q_txt_neardup_groups,
-        "graph_keyword_links": q_graph_keyword_links,
         "mm_pixel_dedup": q_mm_pixel_dedup,
-        "mm_audio_features": q_mm_audio_features,
         "mm_video_frames": q_mm_video_frames,
         "mm_media_features": q_mm_media_features,
         "txt_mix_sample": q_txt_mix_sample,
@@ -1505,12 +1586,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_bm25_batch": q_txt_bm25_batch,
         "txt_corpus_filter": q_txt_corpus_filter,
         "src_json_roundtrip": q_src_json_roundtrip,
+        "src_csv_roundtrip": q_src_csv_roundtrip,
+        "src_orc_roundtrip": q_src_orc_roundtrip,
         "rel_tpch_q1": q_rel_tpch_q1,
         "rel_topk_per_group": q_rel_topk_per_group,
         "evt_hourly_window": q_evt_hourly_window,
         "evt_sessionize": q_evt_sessionize,
         "txt_token_counts": q_txt_token_counts,
         "txt_term_doc_stats": q_txt_term_doc_stats,
+        # -- overflow tail: r4-green, byte-unchanged this round --
         "txt_dedup_exact": q_txt_dedup_exact,
         "txt_fingerprint": q_txt_fingerprint,
         "txt_langid": q_txt_langid,
@@ -1531,24 +1615,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hourly_window": q_stream_hourly_window,
         "rel_rollup": q_rel_rollup,
         "rel_pivot": q_rel_pivot,
-        "rel_distinct_agg": q_rel_distinct_agg,
-        "rel_set_ops": q_rel_set_ops,
-        "evt_asof_join": q_evt_asof_join,
-        "txt_cooccur": q_txt_cooccur,
-        "txt_keywords_tfidf": q_txt_keywords_tfidf,
-        "txt_stem_suffixes": q_txt_stem_suffixes,
-        "graph_pagerank": q_graph_pagerank,
-        "txt_winnow_fp": q_txt_winnow_fp,
-        "txt_phrase_match": q_txt_phrase_match,
-        "rel_hash_join": q_rel_hash_join,
-        "evt_json_extract": q_evt_json_extract,
-        "rel_key_occurrence": q_rel_key_occurrence,
-        "rel_key_weight": q_rel_key_weight,
-        "rel_dup_key_weight": q_rel_dup_key_weight,
-        "rel_merge_set": q_rel_merge_set,
-        "rel_kth_order_stat": q_rel_kth_order_stat,
-        "rel_sort_merge_join": q_rel_sort_merge_join,
-        "rel_semi_anti": q_rel_semi_anti,
     }
 
 
@@ -2587,6 +2653,42 @@ def oracle_sql() -> dict[str, str]:
     sql['src_iceberg_roundtrip'] = sql['src_json_roundtrip']
     sql['src_csv_roundtrip'] = sql['src_json_roundtrip']
     sql['src_orc_roundtrip'] = sql['src_json_roundtrip']
+    # merge-on-read: the position-delete snapshot kills event_id % 7 == 0
+    sql['src_iceberg_deletes'] = """
+            SELECT event_type, count(*) AS n,
+                   round(sum(value), 4) AS total_value
+            FROM events WHERE event_id % 7 <> 0 GROUP BY 1"""
+    # keyword-distribution re-rank: bm25 top-50 candidates x per-doc top-3
+    # tf-idf keywords; occur = candidate docs containing the keyword,
+    # kw_score = sum(min(occur, 8)), red cut at 10% of max, survivors
+    # re-ranked (kw_score desc, score desc, doc_id)
+    _kd_cand = sql['txt_bm25_topk'].replace(
+        "LIMIT 10", f"LIMIT {KWDIST_CAND_K}")
+    assert _kd_cand != sql['txt_bm25_topk']
+    sql['graph_keyword_distribution'] = f"""
+            WITH cand AS MATERIALIZED ({_kd_cand}),
+            kwt AS MATERIALIZED ({sql['txt_keywords_tfidf']}),
+            ck AS (SELECT DISTINCT c.doc_id, k.token AS keyword
+                   FROM cand c JOIN kwt k ON c.doc_id = k.doc_id),
+            occ AS (SELECT keyword, count(*) AS occur FROM ck GROUP BY 1),
+            pd AS (SELECT ck.doc_id,
+                          CAST(sum(least(occ.occur, 8)) AS BIGINT)
+                              AS kw_score
+                   FROM ck JOIN occ ON ck.keyword = occ.keyword
+                   GROUP BY 1),
+            sc AS (SELECT c.doc_id, c.score,
+                          coalesce(pd.kw_score, 0) AS kw_score
+                   FROM cand c LEFT JOIN pd ON c.doc_id = pd.doc_id),
+            mx AS (SELECT max(kw_score) AS m FROM sc),
+            fin AS (SELECT doc_id, score, kw_score,
+                           kw_score < 0.1 * m AS is_red FROM sc, mx),
+            rkd AS (SELECT doc_id, row_number() OVER (
+                        ORDER BY kw_score DESC, score DESC, doc_id ASC)
+                        AS rank
+                    FROM fin WHERE NOT is_red)
+            SELECT f.doc_id, f.score, f.kw_score, f.is_red,
+                   CAST(r.rank AS INT) AS rank
+            FROM fin f LEFT JOIN rkd r ON f.doc_id = r.doc_id"""
     sql['txt_c4_rules'] = """
             WITH page AS (
               SELECT doc_id,

@@ -135,17 +135,40 @@ def _decode(b: io.BytesIO, schema, names: dict):
 def _encode(out: bytearray, schema, value, names: dict) -> None:
     if isinstance(schema, str):
         schema = names.get(schema, schema)
-    if isinstance(schema, list):                      # union: first match
+    if isinstance(schema, list):                      # union
+        # branch selection matches the value's PYTHON TYPE, not merely
+        # "first non-null" (ADVICE r4: a ["long","string"] union would have
+        # encoded a string against the long branch). bool checked before
+        # int: bool is an int subclass.
+        _PY = {"boolean": bool, "int": int, "long": int, "float": float,
+               "double": float, "string": str, "bytes": (bytes, bytearray),
+               "record": dict, "map": dict, "array": (list, tuple),
+               "enum": str, "fixed": (bytes, bytearray)}
+        non_null = [(i, br) for i, br in enumerate(schema)
+                    if (br if isinstance(br, str) else br["type"]) != "null"]
         for i, branch in enumerate(schema):
             bt = branch if isinstance(branch, str) else branch["type"]
             if value is None and bt == "null":
                 _write_long(out, i)
                 return
-            if value is not None and bt != "null":
+        if value is None:
+            raise ValueError("avro: None for union without a null branch")
+        for i, branch in non_null:
+            bt = branch if isinstance(branch, str) else branch["type"]
+            py = _PY.get(bt if isinstance(bt, str) else None)
+            matches = (py is not None and isinstance(value, py)
+                       and not (py is int and isinstance(value, bool)
+                                and bt != "boolean"))
+            # float branches also accept ints (Avro promotes)
+            if py is float and isinstance(value, int) \
+                    and not isinstance(value, bool):
+                matches = True
+            if matches or len(non_null) == 1:
                 _write_long(out, i)
                 _encode(out, branch, value, names)
                 return
-        raise ValueError("avro: no union branch for value")
+        raise ValueError(
+            f"avro: no union branch for {type(value).__name__} value")
     if isinstance(schema, str):
         t = schema
     else:

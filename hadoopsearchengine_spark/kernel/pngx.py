@@ -46,6 +46,11 @@ def encode_png(img: np.ndarray, up_filter: bool = False,
     (Up) instead of 0 — exercising the decoder's unfilter path with a
     non-trivial filter; interlace=True emits Adam7 pass blocks."""
     img = np.asarray(img)
+    if img.dtype not in (np.uint8, np.uint16):
+        # a silent astype(uint8) would wrap int32/float pixels modulo 256
+        # and produce a valid-looking PNG with wrong content (ADVICE r4)
+        raise ValueError(
+            f"encode_png needs uint8 or uint16 pixels, got {img.dtype}")
     depth = 16 if img.dtype == np.uint16 else 8
     if img.ndim == 2:
         img = img[:, :, None]

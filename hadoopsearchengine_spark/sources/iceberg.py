@@ -85,8 +85,10 @@ def read_pages(spark: SparkSession, ref: str) -> DataFrame:
 # DataSource does its scan planning — and the data files still stream
 # through Spark's parquet reader with pushdown/pruning intact.
 #
-# Subset honesty: v2, unpartitioned specs, data manifests only (no
-# position/equality deletes), null+deflate Avro codecs on read, null on
+# Subset honesty: v2, unpartitioned specs, data manifests + POSITION
+# delete files (merge-on-read applied as a Spark anti-join on
+# (_metadata.file_path, _metadata.row_index) — r5); equality deletes fail
+# fast with a clear error. null+deflate Avro codecs on read, null on
 # write. A jar-equipped cluster should prefer the native path (read_pages
 # tries it first); this layer makes the north rule's input format WORK in
 # jar-less environments and pins the wire format with round-trip tests.
@@ -276,6 +278,11 @@ def append_iceberg_snapshot(df: DataFrame, table_dir: str) -> dict:
 
     data_dir = os.path.join(table_dir, "data")
     before = set(glob.glob(os.path.join(data_dir, "*.parquet")))
+    # counted BEFORE the write (df could read from this same table) so the
+    # glob set-difference attribution below is validated against the rows
+    # actually appended (ADVICE r4: a concurrent writer or leftover staging
+    # file would otherwise be silently mis-attributed to this snapshot)
+    expected_rows = df.count()
     df.write.mode("append").parquet(data_dir)
     new_files = sorted(set(glob.glob(os.path.join(data_dir, "*.parquet")))
                        - before)
@@ -292,6 +299,12 @@ def append_iceberg_snapshot(df: DataFrame, table_dir: str) -> dict:
                           "file_format": "PARQUET", "partition": {},
                           "record_count": n,
                           "file_size_in_bytes": os.path.getsize(p)}})
+    if total_rows != expected_rows:
+        raise RuntimeError(
+            f"iceberg append: new data files carry {total_rows} rows but "
+            f"the appended DataFrame has {expected_rows} — another writer "
+            "or leftover staging files in data/ corrupted file "
+            "attribution; table metadata NOT updated")
     manifest_path = os.path.join(meta_dir, f"manifest-{snap_id}.avro")
     with open(manifest_path, "wb") as f:
         f.write(write_ocf(_MANIFEST_SCHEMA, entries))
@@ -327,23 +340,32 @@ def append_iceberg_snapshot(df: DataFrame, table_dir: str) -> dict:
             "rows": total_rows}
 
 
-def iceberg_data_files(table_dir: str,
-                       snapshot_id: int | None = None) -> list[str]:
-    """Resolve a snapshot's live data-file paths through the real metadata
-    tree: version-hint -> vN.metadata.json -> manifest list (Avro) -> data
-    manifests (Avro) -> file_path of non-deleted DATA entries.
-    ``snapshot_id=None`` reads the CURRENT snapshot; passing an id is time
-    travel."""
+def _load_meta(table_dir: str) -> dict:
     import json
     import os
-
-    from ..kernel.avrox import read_ocf
-
     meta_dir = os.path.join(table_dir, "metadata")
     with open(os.path.join(meta_dir, "version-hint.text")) as f:
         version = int(f.read().strip())
     with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
         meta = json.load(f)
+    meta["_version"] = version
+    return meta
+
+
+def iceberg_scan(table_dir: str,
+                 snapshot_id: int | None = None) -> dict:
+    """Resolve a snapshot through the real metadata tree (version-hint ->
+    vN.metadata.json -> manifest list (Avro) -> manifests (Avro)) into
+    ``{"data": [paths], "position_deletes": [paths]}``. Data manifests
+    (content=0) contribute live DATA entries; delete manifests (content=1)
+    contribute POSITION delete files (data_file.content=1, Iceberg spec
+    §Delete Formats). Equality delete files (content=2) fail fast — a
+    merge-on-read table with equality deletes would silently over-return
+    rows otherwise (r4 verdict Missing №5). ``snapshot_id=None`` reads the
+    CURRENT snapshot; passing an id is time travel."""
+    from ..kernel.avrox import read_ocf
+
+    meta = _load_meta(table_dir)
     if meta.get("format-version") != 2:
         raise ValueError("iceberg: only format-version 2 supported")
     snap_id = (meta["current-snapshot-id"]
@@ -356,23 +378,42 @@ def iceberg_data_files(table_dir: str,
             f"iceberg: snapshot {snap_id} not in table {table_dir!r}")
     with open(_strip_scheme(snap["manifest-list"]), "rb") as f:
         _, manifests = read_ocf(f.read())
-    paths = []
+    data, pos_deletes = [], []
     for m in manifests:
-        if m.get("content", 0) != 0:                  # delete manifests
-            raise ValueError("iceberg: delete manifests not supported")
         with open(_strip_scheme(m["manifest_path"]), "rb") as f:
             _, entries = read_ocf(f.read())
         for e in entries:
-            if e["status"] == 2:                      # DELETED
+            if e["status"] == 2:                      # DELETED entry
                 continue
             d = e["data_file"]
-            if d.get("content", 0) != 0:
-                raise ValueError("iceberg: delete files not supported")
+            content = d.get("content", 0)
             if d["file_format"].upper() != "PARQUET":
                 raise ValueError(
                     f"iceberg: unsupported file format {d['file_format']}")
-            paths.append(_strip_scheme(d["file_path"]))
-    return paths
+            if content == 0:
+                data.append(_strip_scheme(d["file_path"]))
+            elif content == 1:
+                pos_deletes.append(_strip_scheme(d["file_path"]))
+            else:
+                raise ValueError(
+                    "iceberg: equality delete files are not supported by "
+                    "the jar-less reader — reading would silently return "
+                    "deleted rows; use the iceberg-spark-runtime jar for "
+                    "this table")
+    return {"data": data, "position_deletes": pos_deletes}
+
+
+def iceberg_data_files(table_dir: str,
+                       snapshot_id: int | None = None) -> list[str]:
+    """A snapshot's live data-file paths (see iceberg_scan). Raises when the
+    snapshot carries delete files — callers that want merge-on-read go
+    through read_iceberg_table, which applies position deletes."""
+    scan = iceberg_scan(table_dir, snapshot_id=snapshot_id)
+    if scan["position_deletes"]:
+        raise ValueError(
+            "iceberg: snapshot carries position delete files — use "
+            "read_iceberg_table (applies them) instead of the raw file list")
+    return scan["data"]
 
 
 def iceberg_incremental_files(table_dir: str,
@@ -409,13 +450,123 @@ def iceberg_incremental_files(table_dir: str,
     return paths
 
 
+def write_position_deletes(table_dir: str,
+                           deletes: list[tuple[str, int]]) -> dict:
+    """Commit a POSITION-DELETE snapshot: one parquet delete file with the
+    spec's (file_path: string, pos: long) schema, a delete manifest
+    (content=1 entries), a manifest list carrying the previous snapshot's
+    manifests forward plus the delete manifest, and a new metadata version.
+    ``deletes``: (data file path as recorded in the manifests, 0-based row
+    position within that file). Single-writer like append_iceberg_snapshot
+    (a real deploy swaps metadata through the catalog CAS)."""
+    import json
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..kernel.avrox import read_ocf, write_ocf
+
+    meta_dir = os.path.join(table_dir, "metadata")
+    meta = _load_meta(table_dir)
+    version = meta.pop("_version")
+    prev_snap = next(s for s in meta["snapshots"]
+                     if s["snapshot-id"] == meta["current-snapshot-id"])
+    with open(_strip_scheme(prev_snap["manifest-list"]), "rb") as f:
+        _, prev_manifests = read_ocf(f.read())
+
+    snap_id = meta["current-snapshot-id"] + 1
+    seq = meta["last-sequence-number"] + 1
+    del_path = os.path.join(table_dir, "data",
+                            f"delete-{snap_id:05d}.parquet")
+    pq.write_table(pa.table({
+        "file_path": pa.array([os.path.abspath(p) for p, _ in deletes],
+                              pa.string()),
+        "pos": pa.array([int(i) for _, i in deletes], pa.int64()),
+    }), del_path)
+    entries = [{
+        "status": 1, "snapshot_id": snap_id, "sequence_number": seq,
+        "file_sequence_number": seq,
+        "data_file": {"content": 1,                   # POSITION_DELETES
+                      "file_path": os.path.abspath(del_path),
+                      "file_format": "PARQUET", "partition": {},
+                      "record_count": len(deletes),
+                      "file_size_in_bytes": os.path.getsize(del_path)}}]
+    manifest_path = os.path.join(meta_dir, f"manifest-{snap_id}-del.avro")
+    with open(manifest_path, "wb") as f:
+        f.write(write_ocf(_MANIFEST_SCHEMA, entries))
+    mlist_path = os.path.join(meta_dir,
+                              f"snap-{snap_id}-manifest-list.avro")
+    with open(mlist_path, "wb") as f:
+        f.write(write_ocf(_MANIFEST_LIST_SCHEMA, prev_manifests + [{
+            "manifest_path": os.path.abspath(manifest_path),
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": 0, "content": 1,     # DELETES manifest
+            "sequence_number": seq, "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_data_files_count": 1,
+            "existing_data_files_count": 0, "deleted_data_files_count": 0,
+            "added_rows_count": len(deletes), "existing_rows_count": 0,
+            "deleted_rows_count": 0}]))
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    meta["current-snapshot-id"] = snap_id
+    meta["snapshots"].append({
+        "snapshot-id": snap_id, "sequence-number": seq,
+        "timestamp-ms": int(time.time() * 1000),
+        "manifest-list": os.path.abspath(mlist_path),
+        "summary": {"operation": "delete"}, "schema-id": 0,
+        "parent-snapshot-id": prev_snap["snapshot-id"]})
+    meta["refs"] = {"main": {"snapshot-id": snap_id, "type": "branch"}}
+    with open(os.path.join(meta_dir,
+                           f"v{version + 1}.metadata.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(version + 1))
+    return {"snapshot_id": snap_id, "deletes": len(deletes),
+            "delete_file": del_path}
+
+
 def read_iceberg_table(spark: SparkSession, table_dir: str,
                        snapshot_id: int | None = None) -> DataFrame:
     """Iceberg v2 table directory -> DataFrame, without the runtime jar:
     python resolves the metadata tree to the live parquet file list, Spark
     scans them (pushdown/pruning intact). ``snapshot_id`` time-travels to
-    an earlier snapshot."""
-    paths = iceberg_data_files(table_dir, snapshot_id=snapshot_id)
+    an earlier snapshot.
+
+    Merge-on-read: when the snapshot carries POSITION delete files, rows
+    are dropped with a broadcast LEFT ANTI join of (_metadata.file_path,
+    _metadata.row_index) against the delete set — Spark's parquet source
+    exposes both for free, the delete set is tiny relative to the data (so
+    broadcast; the corpus never shuffles), and position deletes name exact
+    (file, row) coordinates so applying them needs no sequence-number
+    reasoning. Equality deletes fail fast in iceberg_scan."""
+    from pyspark.sql import functions as F
+
+    scan = iceberg_scan(table_dir, snapshot_id=snapshot_id)
+    paths = scan["data"]
     if not paths:
         raise ValueError(f"iceberg: table {table_dir!r} has no data files")
-    return spark.read.parquet(*paths)
+    df = spark.read.parquet(*paths)
+    if not scan["position_deletes"]:
+        return df
+
+    def norm(col):
+        # canonical path form: file:///x, file:/x and /x all -> /x
+        return F.regexp_replace(col, "^file:/*", "/")
+
+    cols = df.columns
+    dels = (spark.read.parquet(*scan["position_deletes"])
+            .select(norm(F.col("file_path")).alias("_del_path"),
+                    F.col("pos").alias("_del_pos"))
+            .distinct())
+    return (df
+            .select("*",
+                    norm(F.col("_metadata.file_path")).alias("_fp"),
+                    F.col("_metadata.row_index").alias("_ri"))
+            .join(F.broadcast(dels),
+                  (F.col("_fp") == F.col("_del_path"))
+                  & (F.col("_ri") == F.col("_del_pos")),
+                  "left_anti")
+            .select(*cols))

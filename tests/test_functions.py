@@ -442,3 +442,75 @@ def test_sample_frames_real_mjpeg_avi(spark):
         assert np.abs(img.astype(int) - want.astype(int)).mean() < 4
     stub = [r for r in rows if r["media_id"] == 2]
     assert len(stub) == 3                            # fake slices
+
+
+def test_round_half_up_matches_sql_round():
+    """WAV peaks are exact binary fractions k/32768; at |k| = 256*odd they
+    land on exact .5 decimal ties at 6dp, where Python's banker's rounding
+    diverges from SQL round() (ADVICE r4). duckdb is the oracle engine, so
+    compare against it directly."""
+    import duckdb
+
+    from hadoopsearchengine_spark.functions.multimodal import _round_half_up
+
+    con = duckdb.connect()
+    for k in (256, 768, 1280, 3 * 256, 12345, 1, 32767):
+        v = k / 32768.0
+        want = con.execute(f"select round({v!r}::DOUBLE, 6)").fetchone()[0]
+        assert _round_half_up(v, 6) == want, (k, v)
+    # the motivating tie: python round() gives 0.007812, SQL gives 0.007813
+    assert round(256 / 32768.0, 6) == 0.007812
+    assert _round_half_up(256 / 32768.0, 6) == 0.007813
+
+
+def test_semdedup_giant_cell_split(spark):
+    """r4 verdict Next №8: a skewed giant cell must split into bounded
+    sub-block GEMM tiles with the pair set unchanged. Fixture: 180 vectors
+    in one tight cluster (all land in ONE Voronoi cell) + 20 scattered;
+    cell_budget=32 forces the giant cell into ceil(180/32)=6 sub-blocks."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    center = rng.standard_normal(16) * 0.1 + 3.0
+    # ids 0..19: scattered; ids 100..279: ONE tight cluster. The strided
+    # 2-cell init picks sample[0] (scattered) and sample[100] (cluster), so
+    # Lloyd converges to one 180-vector giant cell.
+    rows = [(i, [float(x) for x in rng.standard_normal(16) - 3.0])
+            for i in range(20)]
+    rows += [(100 + i,
+              [float(x) for x in center + rng.standard_normal(16) * 0.01])
+             for i in range(180)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    unsplit = similarity.semdedup_pairs(
+        emb, threshold=0.9, n_cells=2, kmeans_iters=3,
+        cell_budget=10_000)              # no cell exceeds the budget
+    split = similarity.semdedup_pairs(
+        emb, threshold=0.9, n_cells=2, kmeans_iters=3, cell_budget=32)
+    a = {(r["a"], r["b"]): round(r["cosine"], 9) for r in unsplit.collect()}
+    b = {(r["a"], r["b"]): round(r["cosine"], 9) for r in split.collect()}
+    assert a == b and len(a) > 1000      # the tight cluster is ~180²/2 pairs
+
+    # the tile bound itself: replay the sub-block membership and check no
+    # (cell, tile, side) group exceeds ~the budget (hash split is
+    # approximate, so assert 2x headroom, plus strict < giant-cell size)
+    from hadoopsearchengine_spark.functions.similarity import auto_n_cells
+    assert auto_n_cells(180, 32) == 6 and auto_n_cells(1, 4096) == 1
+    assert auto_n_cells(10**12, 4096) == 244_140_625  # ~SemDeDup web scale
+    cents = similarity.train_cells_strided(emb, 2, 3)
+    import pandas as pd
+    vecs = emb.toPandas()
+    V = np.stack([np.asarray(v, np.float64) for v in vecs["embedding"]])
+    assign = ((V[:, None, :] - cents[None, :, :]) ** 2).sum(2).argmin(1)
+    counts = pd.Series(assign).value_counts()
+    giant = int(counts.max())
+    assert giant >= 180                  # the skew actually happened
+    nsub = -(-giant // 32)
+    sizes = (spark.createDataFrame(
+        pd.DataFrame({"vid": vecs["vec_id"],
+                      "cell": assign.astype("int32")}))
+        .withColumn("blk", F.pmod(F.xxhash64("vid"), F.lit(nsub)))
+        .groupBy("cell", "blk").count().collect())
+    got = max(int(r["count"]) for r in sizes)
+    assert got <= 2 * 32, got            # every GEMM tile leg is bounded
