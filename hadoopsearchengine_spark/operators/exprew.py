@@ -95,3 +95,61 @@ def expected_reward(candidates: DataFrame, links: DataFrame,
     return (fin.join(F.broadcast(ranked.select("doc_id", "rank")),
                      "doc_id", "left")
             .select("doc_id", "trav_prob", "recurrent", "rank"))
+
+
+def expected_reward_numpy(cand_ids, src, dst, weight,
+                          iterations: int = ITERATIONS,
+                          threshold: float = RECURRENT_THRESHOLD,
+                          round_to: int = 6):
+    """The IN-PROCESS serving form of the identical recurrence (the module
+    docstring's "a serving tier would run the identical recurrence
+    in-process" — r4 verdict Next №9): candidate-candidate edge
+    restriction, parallel-edge dedup-sum, per-src normalization rounded to
+    9dp, ``iterations`` of back-propagate/renormalize, 6dp rounding,
+    recurrent cut and survivor rank — all numpy over the query-sized
+    candidate set. Pinned equal to the relational ``expected_reward`` by
+    tests/test_exprew.py.
+
+    -> list of (doc_id, trav_prob, recurrent, rank_or_None) in
+    (trav_prob desc, doc_id asc) order over active docs; candidates with no
+    candidate-candidate link are inactive and absent (the relational form's
+    ``active`` contract)."""
+    import numpy as np
+
+    cand = np.unique(np.asarray(cand_ids, dtype=np.int64))
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    weight = np.asarray(weight, dtype=np.float64)
+    m = np.isin(src, cand) & np.isin(dst, cand)
+    src, dst, weight = src[m], dst[m], weight[m]
+    if not len(src):
+        return []
+    pairs = np.stack([src, dst], axis=1)
+    uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+    w = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(w, inv, weight)
+    src, dst = uniq[:, 0], uniq[:, 1]
+    su, sinv = np.unique(src, return_inverse=True)
+    tot = np.zeros(len(su), dtype=np.float64)
+    np.add.at(tot, sinv, w)
+    w = np.round(w / tot[sinv], 9)
+    active = np.unique(np.concatenate([src, dst]))
+    si = np.searchsorted(active, src)
+    di = np.searchsorted(active, dst)
+    p = np.ones(len(active), dtype=np.float64)
+    for _ in range(iterations):
+        back = np.zeros(len(active), dtype=np.float64)
+        np.add.at(back, di, w * p[si])
+        p = p + back
+        p /= p.sum()
+    trav = np.round(p, round_to)
+    recurrent = trav > threshold
+    order = np.lexsort((active, -trav))
+    out, rank = [], 0
+    for i in order:
+        if recurrent[i]:
+            out.append((int(active[i]), float(trav[i]), True, None))
+        else:
+            rank += 1
+            out.append((int(active[i]), float(trav[i]), False, rank))
+    return out

@@ -718,6 +718,41 @@ class QueryEngine:
         np.add.at(tot, inv, np.concatenate(all_c))
         return uniq, tot
 
+    def rerank_expected_reward(self, ranked: list[tuple[int, float]],
+                               iterations: int | None = None,
+                               threshold: float | None = None) \
+            -> list[tuple[int, float]]:
+        """ExpectedReward re-rank of a search() result IN-PROCESS (reference
+        ExpRew.h; the serving form of operators.exprew — r4 verdict Next
+        №9): the candidate-candidate subgraph of the index's ``links``
+        table is fetched by src-predicate pushdown (candidate-sized, never
+        a corpus scan) and the identical recurrence runs in numpy
+        (operators.exprew.expected_reward_numpy, pinned equal to the
+        relational form by pytest). Returns the surviving candidates as
+        [(doc_id, trav_prob)] in final rank order; candidates with no
+        candidate-candidate link are unaffected by the walk and append
+        after the ranked survivors in their original order (the reference
+        re-ranks only its active doc buffer, ExpRew.h:198-216)."""
+        from .exprew import (ITERATIONS, RECURRENT_THRESHOLD,
+                             expected_reward_numpy)
+        import pyarrow.parquet as pq
+        if not ranked:
+            return []
+        cand = [int(d) for d, _ in ranked]
+        t = pq.read_table(f"{self.index_dir}/links",
+                          filters=[("src", "in", cand)],
+                          columns=["src", "dst", "weight"])
+        res = expected_reward_numpy(
+            cand, t["src"].to_numpy(), t["dst"].to_numpy(),
+            t["weight"].to_numpy(),
+            iterations=ITERATIONS if iterations is None else iterations,
+            threshold=(RECURRENT_THRESHOLD if threshold is None
+                       else threshold))
+        active = {d for d, _, _, _ in res}
+        out = [(d, tp) for d, tp, rec, _ in res if not rec]
+        out += [(d, s) for d, s in ranked if d not in active]
+        return out
+
     def memory_bytes(self) -> int:
         """Resident bytes of everything this engine pinned at init: doc-stat
         arrays, term dictionaries, and (preload mode) the block store
@@ -743,21 +778,54 @@ class QueryEngine:
         the result ids resolve to urls through `docs` first; both reads are
         predicate-pushdown point lookups over result docs only, never a
         corpus scan."""
-        import pyarrow.parquet as pq
-        if not doc_ids:
-            return {}
-        urls = pq.read_table(f"{self.index_dir}/docs",
-                             filters=[("doc_id", "in", list(doc_ids))],
-                             columns=["doc_id", "url"]).to_pylist()
-        by_url = {r["url"]: int(r["doc_id"]) for r in urls}
-        tbl = pq.read_table(f"{self.index_dir}/extracted",
-                            filters=[("url", "in", list(by_url))],
-                            columns=["url", "title", "excerpts"])
+        rows = _fetch_doc_texts(self.index_dir, doc_ids,
+                                ("title", "excerpts"))
         out = {}
-        for row in tbl.to_pylist():
+        for did, row in rows.items():
             ex = row["excerpts"] or []
-            out[by_url[row["url"]]] = ex[0] if ex else (row["title"] or "")
+            out[did] = ex[0] if ex else (row["title"] or "")
         return out
+
+    def summaries(self, doc_ids: list[int], query: str,
+                  max_excerpts: int = 3) -> dict[int, list[str]]:
+        """Query-aware MULTI-excerpt summaries per result doc — the
+        reference's document-summary compilation with overlap removal
+        (DocumentQuery/CompileSummary.h + SummaryOverlap.h; semantics in
+        operators/summary.py). Docs where no non-stopword query term
+        occurs fall back to the snippets() single-excerpt/title display
+        text. Candidate-sized: runs over the top-k result docs, text
+        fetched by predicate pushdown."""
+        from .summary import summarize
+        rows = _fetch_doc_texts(self.index_dir, doc_ids, ("title", "text"))
+        out = {}
+        fallback = None
+        for did, row in rows.items():
+            got = summarize(row["text"] or "", query,
+                            max_excerpts=max_excerpts)
+            if not got:
+                if fallback is None:
+                    fallback = self.snippets(list(doc_ids))
+                got = [fallback[did]] if fallback.get(did) else []
+            out[did] = got
+        return out
+
+
+def _fetch_doc_texts(index_dir: str, doc_ids: list[int],
+                     columns: tuple[str, ...]) -> dict[int, dict]:
+    """Per-doc rows of the url-keyed ``extracted`` table for result docs
+    only — both reads are predicate-pushdown point lookups, never a corpus
+    scan (shared by snippets() and summaries())."""
+    import pyarrow.parquet as pq
+    if not doc_ids:
+        return {}
+    urls = pq.read_table(f"{index_dir}/docs",
+                         filters=[("doc_id", "in", list(doc_ids))],
+                         columns=["doc_id", "url"]).to_pylist()
+    by_url = {r["url"]: int(r["doc_id"]) for r in urls}
+    tbl = pq.read_table(f"{index_dir}/extracted",
+                        filters=[("url", "in", list(by_url))],
+                        columns=["url"] + list(columns))
+    return {by_url[row["url"]]: row for row in tbl.to_pylist()}
 
 
 def bm25_topk_df(spark, index_dir: str, query: str, k: int = 10):
