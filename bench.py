@@ -551,14 +551,29 @@ def main():
         # memory split)
         from hadoopsearchengine_spark.operators.sharded import (
             ShardedQueryEngine)
+        class _Pruned:
+            """measure_query_latency adapter: route through the gather-fed
+            theta scatter (rank-identical; measures the pruned discipline's
+            latency + per-shard decode drop)."""
+
+            def __init__(self, sq):
+                self.sq = sq
+
+            def search(self, q, k=10):
+                return self.sq.search(q, k=k, prune=True)
+
         with ShardedQueryEngine(state["idx"], n_shards=4,
                                 n_doc_shards=2) as sq:
             sharded_lat = measure_query_latency(sq, REFERENCE_QUERIES,
                                                 reps=50)
+            pruned_lat = measure_query_latency(_Pruned(sq),
+                                               REFERENCE_QUERIES, reps=50)
             result["sharded_engine"] = {
                 "n_shards": 4, "n_doc_shards": 2,
                 **{m: sharded_lat[m]
                    for m in ("p50_ms", "p95_ms", "mean_ms")},
+                "pruned": {m: pruned_lat[m]
+                           for m in ("p50_ms", "p95_ms", "mean_ms")},
                 "shard_memory_bytes": sq.memory_bytes_per_shard(),
                 "doc_shard_memory_bytes": sq.memory_bytes_per_doc_shard(),
             }

@@ -165,3 +165,69 @@ def summarize(text: str, query: str, max_excerpts: int = 3,
 
     return [text[starts[lo]:char_end(ends[hi])].strip()
             for lo, hi in taken]
+
+
+PHRASE_MAX_WORDS = 6   # ClusterPhrase clips phrases well under its
+                       # MAX_SENTENCE_NUM=24 sentence cap
+
+
+def phrase_labels(text: str, query: str, top_n: int = 3,
+                  max_words: int = PHRASE_MAX_WORDS) -> list[str]:
+    """Cluster-phrase labels for a document/excerpt — the reference's
+    CClusterPhrase (DocumentQuery/ClusterPhrase.h:34-37: "cluster phrases
+    are used as labels to describe a given excerpt so an excerpt can be
+    grouped in some way"). Re-expressed: candidate phrases are contiguous
+    word runs between punctuation breaks (the reference's comma/sentence
+    predicates on SIndvWord) containing at least one query term, clipped to
+    ``max_words`` around the keyword hits; ranked by (distinct query terms
+    desc, shorter first, document position asc — CompareKeyPhrases ranks by
+    keyword matches then term count); deduped case-insensitively. Returns
+    up to ``top_n`` phrases in rank order, original casing."""
+    qterms = {t for t in tokenize(query) if t not in STOPWORDS}
+    if not qterms or not text:
+        return []
+    toks, starts, ends, sent_start, sent_end = _words_with_bounds(text)
+    n = len(toks)
+    if n == 0:
+        return []
+    # break AFTER word i when punctuation (comma or sentence end) follows
+    brk = np.zeros(n, dtype=bool)
+    brk[n - 1] = True
+    for i in range(n - 1):
+        if any(ch in text[ends[i]:starts[i + 1]] for ch in ",;:.!?"):
+            brk[i] = True
+    hit = np.array([t in qterms for t in toks])
+    cands: list[tuple[int, int, int, int]] = []   # (-score, len, pos, lo)
+    run_start = 0
+    spans: list[tuple[int, int]] = []
+    for i in range(n):
+        if brk[i]:
+            spans.append((run_start, i))
+            run_start = i + 1
+    for lo, hi in spans:
+        hs = np.flatnonzero(hit[lo:hi + 1])
+        if not hs.size:
+            continue
+        # clip the run to max_words centered on the keyword span
+        klo, khi = lo + int(hs[0]), lo + int(hs[-1])
+        while khi - klo + 1 > max_words:          # over-long keyword span:
+            khi -= 1                              # keep the leading hits
+        pad = max_words - (khi - klo + 1)
+        plo = max(lo, klo - pad // 2)
+        phi = min(hi, plo + max_words - 1)
+        plo = max(lo, phi - max_words + 1)
+        score = len({toks[j] for j in range(plo, phi + 1)
+                     if toks[j] in qterms})
+        cands.append((-score, phi - plo + 1, plo, phi))
+    cands.sort()
+    out, seen = [], set()
+    for _negs, _ln, plo, phi in cands:
+        phrase = text[starts[plo]:ends[phi]]
+        key = phrase.lower()
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append(phrase)
+        if len(out) == top_n:
+            break
+    return out

@@ -105,3 +105,24 @@ def test_engine_summaries_reference_queries(index_dir):
             # summary must surface one — unless the summary fell back to
             # the title-only display text
             assert has_term or exs == [snip[did]] or exs == [], (q, did)
+
+
+def test_phrase_labels():
+    """ClusterPhrase labels: punctuation-bounded candidate runs, ranked by
+    distinct query-term matches then brevity, deduped, clipped."""
+    from hadoopsearchengine_spark.operators.summary import phrase_labels
+
+    text = ("Distributed spark engine design, spark engine scaling notes, "
+            "a very long run about the spark engine with many extra words "
+            "trailing after. Unrelated clause here. Spark alone.")
+    got = phrase_labels(text, "spark engine", top_n=3)
+    assert got[0] == "Distributed spark engine design"
+    assert all(len(p.split()) <= 6 for p in got)
+    # both-term phrases outrank the single-term 'Spark alone' run
+    assert "Spark alone" not in got[:2]
+    # dedup: repeated identical label collapses
+    text2 = "spark engine, spark engine, spark engine"
+    assert phrase_labels(text2, "spark engine") == ["spark engine"]
+    assert phrase_labels("", "spark") == []
+    assert phrase_labels(text, "the of and") == []
+    assert phrase_labels("no keywords here at all", "spark") == []
