@@ -638,6 +638,58 @@ def q_txt_line_dedup(spark, sf):
                 / F.col("n_chunks")).alias("kept_frac"))
 
 
+SUBSTR_W = 8   # rolling-window width in tokens (Lee et al. use 50; the
+               # synthetic corpus's repeated segments are chunk-scale, so
+               # the knob is sandbox-sized — the shape is width-independent)
+
+
+def q_txt_substr_dedup(spark, sf):
+    """ExactSubstr-style duplication marking [Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 §4.1]: every ROLLING ``SUBSTR_W``-token window is
+    hashed; a window whose text occurs more than once in the corpus
+    (within OR across documents — the suffix-array semantics) is
+    duplicated; each doc reports its window count, duplicated-window count
+    and fraction, plus a keep gate at <= 50% duplication. Complements
+    txt_line_dedup (disjoint chunks, cross-doc boilerplate) with the
+    stride-1 exact-substring form.
+
+    Shuffle shape: window hashes groupBy(h) count (map-side combine, one
+    full-stream exchange), then the count joins BACK onto the window
+    stream on the same key — the second exchange reuses nothing smaller
+    (duplicated windows are not corpus-small, unlike line_dedup's
+    boilerplate list, so no broadcast). Two exchanges of the window stream
+    total — the distributed ExactSubstr trade vs the paper's single-node
+    suffix array. Per-doc aggregation is doc-local after that."""
+    d = load(spark, sf, "documents")
+    toks = tokens_col(F.col("text"))
+    w = SUBSTR_W
+    idx = F.when(F.size(toks) >= w,
+                 F.sequence(F.lit(1), F.size(toks) - w + 1)
+                 ).otherwise(F.array().cast("array<int>"))
+    wins = F.transform(idx,
+                       lambda i: F.md5(F.concat_ws(" ",
+                                                   F.slice(toks, i, w))))
+    per = d.select("doc_id", F.explode(wins).alias("h"))
+    occ = per.groupBy("h").agg(F.count("*").alias("nw"))
+    stats = (per.join(occ, "h")
+             .groupBy("doc_id")
+             .agg(F.count("*").alias("n_windows"),
+                  F.sum(F.when(F.col("nw") > 1, 1).otherwise(0))
+                  .alias("n_dup")))
+    return (d.select("doc_id").join(stats, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+                F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+                F.when(F.col("n_windows").isNotNull(),
+                       _trunc6(F.col("n_dup") / F.col("n_windows")))
+                .alias("dup_frac"),
+                F.coalesce(
+                    _trunc6(F.col("n_dup") / F.col("n_windows")) <= 0.5,
+                    F.lit(True)).alias("keep")))
+
+
 def q_txt_decontaminate(spark, sf):
     """Eval-set decontamination (the GPT-3/Llama report n-gram overlap
     check): the first 13 tokens of each of the 5 lowest-id documents form
@@ -1543,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r5 --
         "graph_keyword_distribution": q_graph_keyword_distribution,
         "src_iceberg_deletes": q_src_iceberg_deletes,
+        "txt_substr_dedup": q_txt_substr_dedup,
         # -- implementation touched in r5 --
         "src_iceberg_roundtrip": q_src_iceberg_roundtrip,
         "mm_audio_features": q_mm_audio_features,
@@ -2316,6 +2369,33 @@ def oracle_sql() -> dict[str, str]:
                    floor(((n_chunks - n_dropped) * 1.0 / n_chunks)
                          * 1000000.0) / 1000000.0 AS kept_frac
             FROM kept"""
+    # txt_substr_dedup: rolling SUBSTR_W-token window duplication
+    # (ExactSubstr semantics: duplicated = window text occurs > 1 time in
+    # the corpus, within or across docs)
+    sql['txt_substr_dedup'] = f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            win AS (SELECT t.doc_id,
+                           md5(array_to_string(
+                               t.ts[i.i : i.i + {SUBSTR_W} - 1], ' ')) AS h
+                    FROM toks t,
+                         LATERAL (SELECT unnest(generate_series(1,
+                             len(t.ts) - {SUBSTR_W} + 1)) AS i) i
+                    WHERE len(t.ts) >= {SUBSTR_W}),
+            occ AS (SELECT h, count(*) AS nw FROM win GROUP BY 1),
+            stats AS (SELECT w.doc_id,
+                             CAST(count(*) AS BIGINT) AS n_windows,
+                             CAST(sum(CASE WHEN o.nw > 1 THEN 1 ELSE 0 END)
+                                  AS BIGINT) AS n_dup
+                      FROM win w JOIN occ o USING (h) GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(s.n_windows, 0) AS n_windows,
+                   coalesce(s.n_dup, 0) AS n_dup,
+                   floor((s.n_dup * 1.0 / s.n_windows) * 1000000.0)
+                       / 1000000.0 AS dup_frac,
+                   coalesce(floor((s.n_dup * 1.0 / s.n_windows)
+                                  * 1000000.0) / 1000000.0 <= 0.5, TRUE)
+                       AS keep
+            FROM documents d LEFT JOIN stats s USING (doc_id)"""
     # txt_decontaminate: token-boundary-safe 13-gram probe containment over
     # the space-joined token stream
     sql['txt_decontaminate'] = f"""

@@ -106,8 +106,8 @@ HEADLINE = [
     # Gopher rules, BPE-ish token accounting, WAV audio features
     "graph_keyword_pagerank", "sim_semdedup", "graph_expected_reward",
     "txt_gopher_rules", "txt_bpe_token_count", "mm_audio_features",
-    # r5 addition: keyword-distribution re-rank
-    "graph_keyword_distribution",
+    # r5 additions: keyword-distribution re-rank, ExactSubstr dedup
+    "graph_keyword_distribution", "txt_substr_dedup",
 ]
 
 BUILD_SNIPPET = """
