@@ -179,3 +179,15 @@ def test_r4_ops_plan_shapes(spark):
     assert "CartesianProduct" not in plan
     plan = _plan(E.queries()["graph_expected_reward"](spark, SF))
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_substr_dedup_plan_no_cartesian(spark):
+    """txt_substr_dedup (ExactSubstr): window-count aggregation + same-key
+    join-back — equi-joins only, never a cartesian/BNLJ (at corpus scale
+    the occ side is not broadcastable, so the shape must stay an equi-join
+    Catalyst can shuffle on h)."""
+    import __spark_entry__ as E
+    plan = _plan(E.queries()["txt_substr_dedup"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan            # map-side combined count
