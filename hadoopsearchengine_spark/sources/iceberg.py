@@ -87,8 +87,9 @@ def read_pages(spark: SparkSession, ref: str) -> DataFrame:
 #
 # Subset honesty: v2, unpartitioned specs, data manifests + POSITION
 # delete files (merge-on-read applied as a Spark anti-join on
-# (_metadata.file_path, _metadata.row_index) — r5); equality deletes fail
-# fast with a clear error. null+deflate Avro codecs on read, null on
+# (_metadata.file_path, _metadata.row_index) — r5) + EQUALITY delete
+# files (null-safe broadcast join per equality_ids group, sequence-number
+# scoped — r5). null+deflate Avro codecs on read, null on
 # write. A jar-equipped cluster should prefer the native path (read_pages
 # tries it first); this layer makes the north rule's input format WORK in
 # jar-less environments and pins the wire format with round-trip tests.
@@ -131,6 +132,14 @@ _MANIFEST_SCHEMA = {
                 {"name": "record_count", "type": "long", "field-id": 103},
                 {"name": "file_size_in_bytes", "type": "long",
                  "field-id": 104},
+                # spec field 135: the table field ids an EQUALITY delete
+                # file (content=2) matches on; null for data/position files.
+                # Optional-with-default so manifests written before r5
+                # decode unchanged (OCF embeds its writer schema anyway).
+                {"name": "equality_ids",
+                 "type": ["null", {"type": "array", "items": "int",
+                                   "element-id": 136}],
+                 "default": None, "field-id": 135},
             ]}},
     ]}
 
@@ -356,12 +365,14 @@ def iceberg_scan(table_dir: str,
                  snapshot_id: int | None = None) -> dict:
     """Resolve a snapshot through the real metadata tree (version-hint ->
     vN.metadata.json -> manifest list (Avro) -> manifests (Avro)) into
-    ``{"data": [paths], "position_deletes": [paths]}``. Data manifests
-    (content=0) contribute live DATA entries; delete manifests (content=1)
-    contribute POSITION delete files (data_file.content=1, Iceberg spec
-    §Delete Formats). Equality delete files (content=2) fail fast — a
-    merge-on-read table with equality deletes would silently over-return
-    rows otherwise (r4 verdict Missing №5). ``snapshot_id=None`` reads the
+    ``{"data": [paths], "position_deletes": [paths], "data_seqs":
+    {path: data sequence number}, "equality_deletes": [{"path", "seq",
+    "equality_ids"}]}``. Data manifests (content=0) contribute live DATA
+    entries; delete manifests (content=1) contribute POSITION delete files
+    (data_file.content=1) and EQUALITY delete files (content=2) with their
+    equality field ids and data sequence numbers (Iceberg spec §Delete
+    Formats; the seq drives the "applies only to data written BEFORE the
+    delete" scoping in read_iceberg_table). ``snapshot_id=None`` reads the
     CURRENT snapshot; passing an id is time travel."""
     from ..kernel.avrox import read_ocf
 
@@ -378,7 +389,7 @@ def iceberg_scan(table_dir: str,
             f"iceberg: snapshot {snap_id} not in table {table_dir!r}")
     with open(_strip_scheme(snap["manifest-list"]), "rb") as f:
         _, manifests = read_ocf(f.read())
-    data, pos_deletes = [], []
+    data, pos_deletes, eq_deletes, data_seqs = [], [], [], {}
     for m in manifests:
         with open(_strip_scheme(m["manifest_path"]), "rb") as f:
             _, entries = read_ocf(f.read())
@@ -390,17 +401,26 @@ def iceberg_scan(table_dir: str,
             if d["file_format"].upper() != "PARQUET":
                 raise ValueError(
                     f"iceberg: unsupported file format {d['file_format']}")
+            # seq inheritance (spec §Sequence Number Inheritance): an ADDED
+            # entry with null seq inherits the manifest's sequence_number.
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = m["sequence_number"]
+            path = _strip_scheme(d["file_path"])
             if content == 0:
-                data.append(_strip_scheme(d["file_path"]))
+                data.append(path)
+                data_seqs[path] = seq
             elif content == 1:
-                pos_deletes.append(_strip_scheme(d["file_path"]))
+                pos_deletes.append(path)
+            elif content == 2:
+                eq_deletes.append({"path": path, "seq": seq,
+                                   "equality_ids": d.get("equality_ids")
+                                   or []})
             else:
                 raise ValueError(
-                    "iceberg: equality delete files are not supported by "
-                    "the jar-less reader — reading would silently return "
-                    "deleted rows; use the iceberg-spark-runtime jar for "
-                    "this table")
-    return {"data": data, "position_deletes": pos_deletes}
+                    f"iceberg: unknown data_file content {content}")
+    return {"data": data, "position_deletes": pos_deletes,
+            "data_seqs": data_seqs, "equality_deletes": eq_deletes}
 
 
 def iceberg_data_files(table_dir: str,
@@ -409,9 +429,9 @@ def iceberg_data_files(table_dir: str,
     snapshot carries delete files — callers that want merge-on-read go
     through read_iceberg_table, which applies position deletes."""
     scan = iceberg_scan(table_dir, snapshot_id=snapshot_id)
-    if scan["position_deletes"]:
+    if scan["position_deletes"] or scan["equality_deletes"]:
         raise ValueError(
-            "iceberg: snapshot carries position delete files — use "
+            "iceberg: snapshot carries delete files — use "
             "read_iceberg_table (applies them) instead of the raw file list")
     return scan["data"]
 
@@ -450,21 +470,19 @@ def iceberg_incremental_files(table_dir: str,
     return paths
 
 
-def write_position_deletes(table_dir: str,
-                           deletes: list[tuple[str, int]]) -> dict:
-    """Commit a POSITION-DELETE snapshot: one parquet delete file with the
-    spec's (file_path: string, pos: long) schema, a delete manifest
-    (content=1 entries), a manifest list carrying the previous snapshot's
-    manifests forward plus the delete manifest, and a new metadata version.
-    ``deletes``: (data file path as recorded in the manifests, 0-based row
-    position within that file). Single-writer like append_iceberg_snapshot
-    (a real deploy swaps metadata through the catalog CAS)."""
+def _commit_delete_snapshot(table_dir: str, write_parquet,
+                            n_rows: int,
+                            equality_ids: list[int] | None = None) -> dict:
+    """Shared delete-snapshot commit for position (equality_ids=None) and
+    equality deletes: calls ``write_parquet(del_path)`` to materialize the
+    delete file, then writes a delete manifest (content per kind), a
+    manifest list carrying the previous snapshot's manifests forward plus
+    the delete manifest, and a new metadata version. Single-writer like
+    append_iceberg_snapshot (a real deploy swaps metadata through the
+    catalog CAS)."""
     import json
     import os
     import time
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
     from ..kernel.avrox import read_ocf, write_ocf
 
@@ -478,22 +496,23 @@ def write_position_deletes(table_dir: str,
 
     snap_id = meta["current-snapshot-id"] + 1
     seq = meta["last-sequence-number"] + 1
+    kind = "eqdel" if equality_ids is not None else "del"
     del_path = os.path.join(table_dir, "data",
-                            f"delete-{snap_id:05d}.parquet")
-    pq.write_table(pa.table({
-        "file_path": pa.array([os.path.abspath(p) for p, _ in deletes],
-                              pa.string()),
-        "pos": pa.array([int(i) for _, i in deletes], pa.int64()),
-    }), del_path)
+                            f"{kind}-{snap_id:05d}.parquet")
+    write_parquet(del_path)
     entries = [{
         "status": 1, "snapshot_id": snap_id, "sequence_number": seq,
         "file_sequence_number": seq,
-        "data_file": {"content": 1,                   # POSITION_DELETES
-                      "file_path": os.path.abspath(del_path),
-                      "file_format": "PARQUET", "partition": {},
-                      "record_count": len(deletes),
-                      "file_size_in_bytes": os.path.getsize(del_path)}}]
-    manifest_path = os.path.join(meta_dir, f"manifest-{snap_id}-del.avro")
+        "data_file": {
+            # 1 = POSITION_DELETES, 2 = EQUALITY_DELETES (spec §Manifests)
+            "content": 1 if equality_ids is None else 2,
+            "file_path": os.path.abspath(del_path),
+            "file_format": "PARQUET", "partition": {},
+            "record_count": n_rows,
+            "file_size_in_bytes": os.path.getsize(del_path),
+            "equality_ids": equality_ids}}]
+    manifest_path = os.path.join(meta_dir,
+                                 f"manifest-{snap_id}-{kind}.avro")
     with open(manifest_path, "wb") as f:
         f.write(write_ocf(_MANIFEST_SCHEMA, entries))
     mlist_path = os.path.join(meta_dir,
@@ -507,7 +526,7 @@ def write_position_deletes(table_dir: str,
             "added_snapshot_id": snap_id,
             "added_data_files_count": 1,
             "existing_data_files_count": 0, "deleted_data_files_count": 0,
-            "added_rows_count": len(deletes), "existing_rows_count": 0,
+            "added_rows_count": n_rows, "existing_rows_count": 0,
             "deleted_rows_count": 0}]))
     meta["last-sequence-number"] = seq
     meta["last-updated-ms"] = int(time.time() * 1000)
@@ -524,8 +543,84 @@ def write_position_deletes(table_dir: str,
         json.dump(meta, f, indent=1)
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
         f.write(str(version + 1))
-    return {"snapshot_id": snap_id, "deletes": len(deletes),
+    return {"snapshot_id": snap_id, "deletes": n_rows,
             "delete_file": del_path}
+
+
+def write_position_deletes(table_dir: str,
+                           deletes: list[tuple[str, int]]) -> dict:
+    """Commit a POSITION-DELETE snapshot: one parquet delete file with the
+    spec's (file_path: string, pos: long) schema, a delete manifest
+    (content=1 entries), a manifest list carrying the previous snapshot's
+    manifests forward plus the delete manifest, and a new metadata version.
+    ``deletes``: (data file path as recorded in the manifests, 0-based row
+    position within that file)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write_parquet(del_path):
+        pq.write_table(pa.table({
+            "file_path": pa.array([os.path.abspath(p) for p, _ in deletes],
+                                  pa.string()),
+            "pos": pa.array([int(i) for _, i in deletes], pa.int64()),
+        }), del_path)
+
+    return _commit_delete_snapshot(table_dir, write_parquet, len(deletes))
+
+
+# Iceberg primitive type -> pyarrow type, for equality-delete files whose
+# column types must match the table schema's.
+def _pa_type(iceberg_type: str):
+    import pyarrow as pa
+    return {
+        "string": pa.string(), "long": pa.int64(), "int": pa.int32(),
+        "double": pa.float64(), "float": pa.float32(),
+        "boolean": pa.bool_(), "binary": pa.binary(),
+        "date": pa.date32(), "timestamp": pa.timestamp("us"),
+        "timestamptz": pa.timestamp("us", tz="UTC"),
+    }[iceberg_type]
+
+
+def write_equality_deletes(table_dir: str, rows: list[dict]) -> dict:
+    """Commit an EQUALITY-DELETE snapshot (spec §Equality Delete Files): a
+    parquet file holding the delete rows' equality columns (the keys of
+    ``rows`` — all rows must share one key set, which becomes the
+    manifest's equality_ids via the table schema's field ids), committed
+    with content=2 at the next sequence number. A data row is deleted iff
+    some delete row matches it on ALL equality columns (null matches null)
+    AND the row's data file has a STRICTLY SMALLER data sequence number —
+    i.e. the delete applies only to data written before it; later appends
+    are untouched (scoping applied in read_iceberg_table)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not rows:
+        raise ValueError("iceberg: empty equality-delete row set")
+    cols = sorted(rows[0])
+    if any(sorted(r) != cols for r in rows):
+        raise ValueError("iceberg: equality-delete rows must share one "
+                         "column set")
+    meta = _load_meta(table_dir)
+    schema = next(s for s in meta["schemas"]
+                  if s["schema-id"] == meta["current-schema-id"])
+    by_name = {f["name"]: f for f in schema["fields"]}
+    missing = [c for c in cols if c not in by_name]
+    if missing:
+        raise ValueError(f"iceberg: equality columns {missing} not in "
+                         "table schema")
+    ids = [by_name[c]["id"] for c in cols]
+
+    def write_parquet(del_path):
+        pq.write_table(pa.table({
+            c: pa.array([r[c] for r in rows], _pa_type(by_name[c]["type"]))
+            for c in cols}), del_path)
+
+    out = _commit_delete_snapshot(table_dir, write_parquet, len(rows),
+                                  equality_ids=ids)
+    out["equality_ids"] = ids
+    return out
 
 
 def read_iceberg_table(spark: SparkSession, table_dir: str,
@@ -535,13 +630,19 @@ def read_iceberg_table(spark: SparkSession, table_dir: str,
     scans them (pushdown/pruning intact). ``snapshot_id`` time-travels to
     an earlier snapshot.
 
-    Merge-on-read: when the snapshot carries POSITION delete files, rows
-    are dropped with a broadcast LEFT ANTI join of (_metadata.file_path,
-    _metadata.row_index) against the delete set — Spark's parquet source
-    exposes both for free, the delete set is tiny relative to the data (so
-    broadcast; the corpus never shuffles), and position deletes name exact
-    (file, row) coordinates so applying them needs no sequence-number
-    reasoning. Equality deletes fail fast in iceberg_scan."""
+    Merge-on-read: POSITION delete files are applied as a broadcast LEFT
+    ANTI join of (_metadata.file_path, _metadata.row_index) against the
+    delete set — Spark's parquet source exposes both for free, the delete
+    set is tiny relative to the data (so broadcast; the corpus never
+    shuffles), and position deletes name exact (file, row) coordinates so
+    applying them needs no sequence-number reasoning. EQUALITY delete
+    files (content=2) are applied per equality_ids group as a broadcast
+    null-safe LEFT join on the equality columns, keeping a row unless a
+    matching delete has a data sequence number STRICTLY GREATER than the
+    row's data file's (spec scoping: an equality delete hits only data
+    written before it — appends after the delete survive)."""
+    from functools import reduce
+
     from pyspark.sql import functions as F
 
     scan = iceberg_scan(table_dir, snapshot_id=snapshot_id)
@@ -549,7 +650,7 @@ def read_iceberg_table(spark: SparkSession, table_dir: str,
     if not paths:
         raise ValueError(f"iceberg: table {table_dir!r} has no data files")
     df = spark.read.parquet(*paths)
-    if not scan["position_deletes"]:
+    if not scan["position_deletes"] and not scan["equality_deletes"]:
         return df
 
     def norm(col):
@@ -557,16 +658,52 @@ def read_iceberg_table(spark: SparkSession, table_dir: str,
         return F.regexp_replace(col, "^file:/*", "/")
 
     cols = df.columns
-    dels = (spark.read.parquet(*scan["position_deletes"])
-            .select(norm(F.col("file_path")).alias("_del_path"),
-                    F.col("pos").alias("_del_pos"))
-            .distinct())
-    return (df
-            .select("*",
-                    norm(F.col("_metadata.file_path")).alias("_fp"),
-                    F.col("_metadata.row_index").alias("_ri"))
-            .join(F.broadcast(dels),
-                  (F.col("_fp") == F.col("_del_path"))
-                  & (F.col("_ri") == F.col("_del_pos")),
-                  "left_anti")
-            .select(*cols))
+    df = df.select("*",
+                   norm(F.col("_metadata.file_path")).alias("_fp"),
+                   F.col("_metadata.row_index").alias("_ri"))
+    if scan["position_deletes"]:
+        dels = (spark.read.parquet(*scan["position_deletes"])
+                .select(norm(F.col("file_path")).alias("_del_path"),
+                        F.col("pos").alias("_del_pos"))
+                .distinct())
+        df = df.join(F.broadcast(dels),
+                     (F.col("_fp") == F.col("_del_path"))
+                     & (F.col("_ri") == F.col("_del_pos")),
+                     "left_anti")
+    if scan["equality_deletes"]:
+        meta = _load_meta(table_dir)
+        schema = next(s for s in meta["schemas"]
+                      if s["schema-id"] == meta["current-schema-id"])
+        by_id = {f["id"]: f["name"] for f in schema["fields"]}
+        # each data row's data sequence number, from the scan plan (tiny
+        # path->seq map, broadcast)
+        seq_df = spark.createDataFrame(
+            [(p, int(s)) for p, s in scan["data_seqs"].items()],
+            "_seq_path string, _dseq long")
+        df = (df.join(F.broadcast(seq_df),
+                      F.col("_fp") == F.col("_seq_path"), "left")
+              .drop("_seq_path"))
+        groups: dict[tuple, list] = {}
+        for d in scan["equality_deletes"]:
+            groups.setdefault(tuple(d["equality_ids"]), []).append(d)
+        for ids, files in sorted(groups.items()):
+            names = [by_id[i] for i in ids]
+            dels = None
+            for d in files:
+                part = (spark.read.parquet(d["path"]).select(*names)
+                        .withColumn("_eqseq", F.lit(int(d["seq"]))))
+                dels = part if dels is None else dels.unionByName(part)
+            # one surviving (key -> max delete seq) row per key: a data row
+            # dies iff ANY matching delete is newer, i.e. iff the max is
+            dels = (dels.groupBy(*names).agg(F.max("_eqseq").alias("_eqseq"))
+                    .select(*[F.col(n).alias(f"_eqd_{k}")
+                              for k, n in enumerate(names)], "_eqseq"))
+            cond = reduce(lambda a, b: a & b,
+                          [df[n].eqNullSafe(F.col(f"_eqd_{k}"))
+                           for k, n in enumerate(names)])
+            df = (df.join(F.broadcast(dels), cond, "left")
+                  .filter(F.col("_eqseq").isNull()
+                          | (F.col("_eqseq") <= F.col("_dseq")))
+                  .drop("_eqseq", *[f"_eqd_{k}"
+                                    for k in range(len(names))]))
+    return df.select(*cols)

@@ -296,10 +296,59 @@ def test_iceberg_position_deletes(spark, tmp_path):
     # time travel to snapshot 1 sees everything
     assert read_iceberg_table(spark, t, snapshot_id=1).count() == 20
     # the raw file-list API fails loudly instead of over-returning
-    with pytest.raises(ValueError, match="position delete"):
+    with pytest.raises(ValueError, match="delete file"):
         iceberg_data_files(t)
     scan = iceberg_scan(t)
     assert len(scan["position_deletes"]) == 1
+
+
+def test_iceberg_equality_deletes(spark, tmp_path):
+    """Equality-delete merge-on-read (spec §Equality Delete Files), incl.
+    the sequence-number scoping that makes equality deletes subtle: the
+    delete hits only data files with a STRICTLY SMALLER data sequence
+    number, so rows re-appended after the delete survive; null equality
+    values match null column values."""
+    from hadoopsearchengine_spark.sources.iceberg import (
+        append_iceberg_snapshot, iceberg_data_files, read_iceberg_table,
+        write_equality_deletes, write_iceberg_table)
+
+    t = f"{tmp_path}/tbl"
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "b"), (4, None), (5, "c")],
+        "id long, grp string")
+    write_iceberg_table(df, t)                            # seq 1
+    info = write_equality_deletes(                        # seq 2
+        t, [{"grp": "b"}, {"grp": None}])
+    assert info["equality_ids"] == [2]                    # grp is field 2
+    got = {r["id"] for r in read_iceberg_table(spark, t).collect()}
+    assert got == {1, 5}                                  # b-rows + null gone
+
+    # rows appended AFTER the delete are out of its scope — even 'b'
+    append_iceberg_snapshot(spark.createDataFrame(        # seq 3
+        [(6, "b"), (7, None)], "id long, grp string"), t)
+    got = {r["id"] for r in read_iceberg_table(spark, t).collect()}
+    assert got == {1, 5, 6, 7}
+
+    # a NEWER equality delete (seq 4) re-kills the post-append 'b' row
+    write_equality_deletes(t, [{"grp": "b"}])
+    got = {r["id"] for r in read_iceberg_table(spark, t).collect()}
+    assert got == {1, 5, 7}
+
+    # multi-column equality group: (id, grp) must BOTH match
+    write_equality_deletes(t, [{"id": 7, "grp": None}, {"id": 1, "grp": "x"}])
+    got = {r["id"] for r in read_iceberg_table(spark, t).collect()}
+    assert got == {1, 5}                                  # id=1 grp!=x kept
+
+    # schema untouched; time travel to snapshot 1 sees all original rows
+    back = read_iceberg_table(spark, t)
+    assert back.columns == ["id", "grp"]
+    assert read_iceberg_table(spark, t, snapshot_id=1).count() == 5
+    with pytest.raises(ValueError, match="delete file"):
+        iceberg_data_files(t)
+
+    # unknown equality column fails loudly
+    with pytest.raises(ValueError, match="not in table schema"):
+        write_equality_deletes(t, [{"nope": 1}])
 
 
 def test_iceberg_append_row_attribution_check(spark, tmp_path):
