@@ -4,7 +4,7 @@ Each ``queries()`` entry is an implemented operator from SURVEY.md §2 (or a
 training-data-pipeline op), expressed Spark-first in
 ``hadoopsearchengine_spark``; ``oracle_sql()`` carries the DuckDB-equivalent
 ANSI SQL run by the driver at sf=0.01 (row-count + schema + value-hash).
-Every entry has oracle SQL (72/72) — the iterative ops (PageRank cycles,
+Every entry has oracle SQL (73/73) — the iterative ops (PageRank cycles,
 IVF kmeans, label propagation, the expected-reward walk) unroll their fixed
 iteration counts into chained CTEs; the hash-dependent ops use
 engine-agnostic md5 modes.
@@ -916,6 +916,30 @@ def q_stream_hourly_window(spark, sf):
         F.col("w.start").alias("hour"), "event_type", "n", "total_value")
 
 
+def q_stream_dedup_stateful(spark, sf):
+    """Custom STATEFUL streaming operator (applyInPandasWithState): exact
+    dedup whose per-fingerprint state (min doc_id, count) outlives any one
+    microbatch. Documents are split into 4 single-file microbatches so dup
+    groups genuinely cross batch boundaries; the state transition is
+    commutative+associative, so the final answer equals the batch
+    exact_dedup — same oracle as txt_dedup_exact
+    (streaming/stateful.py)."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="sfe_sdedup_")
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    docs.repartition(4).write.mode("overwrite").parquet(f"{d}/files")
+    # flatten part files to a single stream dir (one file per microbatch)
+    for i, part in enumerate(sorted(
+            f for f in os.listdir(f"{d}/files") if f.endswith(".parquet"))):
+        os.rename(f"{d}/files/{part}", f"{d}/file{i:03d}.parquet")
+
+    from hadoopsearchengine_spark.streaming.stateful import (
+        streaming_exact_dedup)
+    return streaming_exact_dedup(spark, d, "doc_id long, text string")
+
+
 
 # --------------------------------------------------------------------------
 # extended relational / graph / text operators (round-1 widening)
@@ -1625,6 +1649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_keyword_distribution": q_graph_keyword_distribution,
         "src_iceberg_deletes": q_src_iceberg_deletes,
         "src_iceberg_eq_deletes": q_src_iceberg_eq_deletes,
+        "stream_dedup_stateful": q_stream_dedup_stateful,
         "txt_substr_dedup": q_txt_substr_dedup,
         # -- implementation touched in r5 --
         "src_iceberg_roundtrip": q_src_iceberg_roundtrip,
@@ -2735,6 +2760,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE bucket < CASE {_mix_case} ELSE {MIX_DEFAULT_QUOTA} END"""
     # streaming op shares the batch oracle
     sql["stream_hourly_window"] = sql["evt_hourly_window"]
+    # stateful streaming dedup == batch exact dedup (commutative state)
+    sql["stream_dedup_stateful"] = sql["txt_dedup_exact"]
     # graph_expected_reward: candidate-restricted keyword links + the
     # ExpRew recurrence (p += W^T p, normalize) unrolled like pagerank.
     # cand/sym/e/act MATERIALIZED: the p-chain references each q{i} twice,
