@@ -4,7 +4,7 @@ Each ``queries()`` entry is an implemented operator from SURVEY.md §2 (or a
 training-data-pipeline op), expressed Spark-first in
 ``hadoopsearchengine_spark``; ``oracle_sql()`` carries the DuckDB-equivalent
 ANSI SQL run by the driver at sf=0.01 (row-count + schema + value-hash).
-Every entry has oracle SQL (73/73) — the iterative ops (PageRank cycles,
+Every entry has oracle SQL (74/74) — the iterative ops (PageRank cycles,
 IVF kmeans, label propagation, the expected-reward walk) unroll their fixed
 iteration counts into chained CTEs; the hash-dependent ops use
 engine-agnostic md5 modes.
@@ -1031,6 +1031,52 @@ def q_txt_cooccur(spark, sf):
             .orderBy(F.col("n").desc(), "t1", "t2").limit(100))
 
 
+PMI_MIN_PAIR = 5  # collocation support floor (standard Church&Hanks trim)
+
+
+def q_txt_collocations_pmi(spark, sf):
+    """Pointwise-mutual-information collocations over adjacent token
+    bigrams — the statistical upgrade of the reference's association
+    machinery (DyableAssociations ranks co-occurring pairs by RAW count,
+    txt_cooccur): PMI = ln(p(xy) / (p(x)p(y))) normalizes by unigram
+    frequency so stopword pairs don't drown real phrases (Church & Hanks
+    1990) — the standard phrase-mining pass for LLM-corpus curation.
+
+    Shuffle shape: two map-side-combined count aggregates (unigrams from
+    one explode, bigrams generated JVM-side in the scan projection like
+    txt_cooccur) + two joins of the bigram table onto the vocab-sized
+    unigram counts; corpus text never shuffles, no UDFs. The totals T/B
+    are two scalar aggregates. Float determinism: PMI is one ln of a
+    left-associated double product/ratio, rounded to 6dp in the identical
+    operation order as the oracle (the txt_keywords_tfidf precedent)."""
+    d = load(spark, sf, "documents")
+    toks = tokens_col(F.col("text"))
+    tok = d.select(F.explode(toks).alias("t"))
+    uni = tok.groupBy("t").agg(F.count("*").alias("c"))
+    T = tok.count()
+    idx = F.when(F.size(toks) >= 2,
+                 F.sequence(F.lit(0), F.size(toks) - 2)
+                 ).otherwise(F.array().cast("array<int>"))
+    pair_arr = F.transform(
+        idx, lambda i: F.struct(F.element_at(toks, i + 1).alias("t1"),
+                                F.element_at(toks, i + 2).alias("t2")))
+    big = (d.select(F.explode(pair_arr).alias("p")).select("p.t1", "p.t2")
+           .groupBy("t1", "t2").agg(F.count("*").alias("c_xy")))
+    B = d.select(F.sum(F.greatest(F.size(toks) - 1, F.lit(0)))
+                 ).collect()[0][0]
+    scored = (big.filter(F.col("c_xy") >= PMI_MIN_PAIR)
+              .join(uni.select(F.col("t").alias("t1"),
+                               F.col("c").alias("c_x")), "t1")
+              .join(uni.select(F.col("t").alias("t2"),
+                               F.col("c").alias("c_y")), "t2")
+              .withColumn("pmi", F.round(F.log(
+                  (F.col("c_xy") * 1.0 * F.lit(int(T)) * F.lit(int(T)))
+                  / (F.col("c_x") * 1.0 * F.col("c_y") * F.lit(int(B)))),
+                  6)))
+    return (scored.select("t1", "t2", "c_xy", "pmi")
+            .orderBy(F.col("pmi").desc(), "t1", "t2").limit(100))
+
+
 def q_txt_keywords_tfidf(spark, sf):
     """Excerpt-keyword selection re-expressed as per-doc top-3 tf-idf terms
     (reference keeps top N=17 keywords/excerpt, DyableCommand.cpp:42)."""
@@ -1650,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_iceberg_deletes": q_src_iceberg_deletes,
         "src_iceberg_eq_deletes": q_src_iceberg_eq_deletes,
         "stream_dedup_stateful": q_stream_dedup_stateful,
+        "txt_collocations_pmi": q_txt_collocations_pmi,
         "txt_substr_dedup": q_txt_substr_dedup,
         # -- implementation touched in r5 --
         "src_iceberg_roundtrip": q_src_iceberg_roundtrip,
@@ -2762,6 +2809,29 @@ def oracle_sql() -> dict[str, str]:
     sql["stream_hourly_window"] = sql["evt_hourly_window"]
     # stateful streaming dedup == batch exact dedup (commutative state)
     sql["stream_dedup_stateful"] = sql["txt_dedup_exact"]
+    # adjacent-bigram PMI: identical double operation order as the Spark
+    # plan (c_xy*1.0*T*T / (c_x*1.0*c_y*B), ln, round 6)
+    sql["txt_collocations_pmi"] = f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            tok AS (SELECT unnest(ts) AS t FROM toks),
+            uni AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+            tt AS (SELECT count(*) AS t FROM tok),
+            bt AS (SELECT sum(greatest(len(ts) - 1, 0)) AS b FROM toks),
+            bidx AS (SELECT ts, unnest(generate_series(1,
+                                greatest(len(ts) - 1, 0))) AS i
+                     FROM toks),
+            big AS (SELECT ts[i] AS t1, ts[i+1] AS t2, count(*) AS c_xy
+                    FROM bidx GROUP BY 1, 2),
+            scored AS (SELECT b.t1, b.t2, b.c_xy,
+                              round(ln((b.c_xy * 1.0 * tt.t * tt.t)
+                                       / (u1.c * 1.0 * u2.c * bt.b)),
+                                    6) AS pmi
+                       FROM big b
+                       JOIN uni u1 ON b.t1 = u1.t
+                       JOIN uni u2 ON b.t2 = u2.t, tt, bt
+                       WHERE b.c_xy >= {PMI_MIN_PAIR})
+            SELECT t1, t2, c_xy, pmi FROM scored
+            ORDER BY pmi DESC, t1, t2 LIMIT 100"""
     # graph_expected_reward: candidate-restricted keyword links + the
     # ExpRew recurrence (p += W^T p, normalize) unrolled like pagerank.
     # cand/sym/e/act MATERIALIZED: the p-chain references each q{i} twice,
