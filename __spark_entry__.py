@@ -4,7 +4,7 @@ Each ``queries()`` entry is an implemented operator from SURVEY.md §2 (or a
 training-data-pipeline op), expressed Spark-first in
 ``hadoopsearchengine_spark``; ``oracle_sql()`` carries the DuckDB-equivalent
 ANSI SQL run by the driver at sf=0.01 (row-count + schema + value-hash).
-Every entry has oracle SQL (74/74) — the iterative ops (PageRank cycles,
+Every entry has oracle SQL (75/75) — the iterative ops (PageRank cycles,
 IVF kmeans, label propagation, the expected-reward walk) unroll their fixed
 iteration counts into chained CTEs; the hash-dependent ops use
 engine-agnostic md5 modes.
@@ -1355,6 +1355,43 @@ def q_src_iceberg_eq_deletes(spark, sf):
                  F.round(F.sum("value"), 4).alias("total_value")))
 
 
+def q_src_iceberg_maintenance(spark, sf):
+    """Iceberg table-maintenance cycle (the jar-less analogs of
+    rewrite_data_files + expire_snapshots): events with a position-delete
+    snapshot are COMPACTED into clean copy-on-write files (deletes folded
+    in, REPLACE snapshot), then history is EXPIRED (orphaned manifests +
+    data + delete files physically reclaimed). The reader on the
+    maintained table must return exactly what the pre-maintenance
+    merge-on-read returned — same oracle as src_iceberg_deletes. At 100 TB
+    this is the op that keeps scan planning O(live files), not
+    O(append history)."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from hadoopsearchengine_spark.sources.iceberg import (
+        compact_table, expire_snapshots, iceberg_data_files,
+        read_iceberg_table, write_iceberg_table, write_position_deletes)
+
+    ev = load(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    out = tempfile.mkdtemp(prefix="sfe_icem_")
+    t = f"{out}/events_tbl"
+    write_iceberg_table(ev, t)
+    dels = []
+    for p in iceberg_data_files(t):
+        ids = pq.read_table(p, columns=["event_id"])["event_id"].to_numpy()
+        dels.extend((p, int(pos)) for pos in np.flatnonzero(ids % 7 == 0))
+    write_position_deletes(t, dels)
+    compact_table(spark, t, n_files=2)
+    expire_snapshots(t, keep_last=1)
+    back = read_iceberg_table(spark, t)
+    return (back.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("total_value")))
+
+
 def q_src_csv_roundtrip(spark, sf):
     """CSV source coverage (SURVEY §2.4): events written as headered CSV and
     read back with an explicit schema aggregate identically to the parquet
@@ -1695,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_keyword_distribution": q_graph_keyword_distribution,
         "src_iceberg_deletes": q_src_iceberg_deletes,
         "src_iceberg_eq_deletes": q_src_iceberg_eq_deletes,
+        "src_iceberg_maintenance": q_src_iceberg_maintenance,
         "stream_dedup_stateful": q_stream_dedup_stateful,
         "txt_collocations_pmi": q_txt_collocations_pmi,
         "txt_substr_dedup": q_txt_substr_dedup,
@@ -2865,6 +2903,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n,
                    round(sum(value), 4) AS total_value
             FROM events WHERE event_id % 7 <> 0 GROUP BY 1"""
+    # compaction + expiry must preserve exactly the merge-on-read answer
+    sql['src_iceberg_maintenance'] = sql['src_iceberg_deletes']
     # equality deletes: user_id 1..20 deleted at seq 2, the user_id<=10
     # slice re-appended at seq 3 is out of the delete's scope (strictly-
     # smaller-sequence-number rule) and survives

@@ -106,8 +106,12 @@ HEADLINE = [
     # Gopher rules, BPE-ish token accounting, WAV audio features
     "graph_keyword_pagerank", "sim_semdedup", "graph_expected_reward",
     "txt_gopher_rules", "txt_bpe_token_count", "mm_audio_features",
-    # r5 additions: keyword-distribution re-rank, ExactSubstr dedup
+    # r5 additions: keyword-distribution re-rank, ExactSubstr dedup,
+    # equality-delete merge-on-read, stateful streaming dedup, PMI
+    # collocations
     "graph_keyword_distribution", "txt_substr_dedup",
+    "src_iceberg_eq_deletes", "stream_dedup_stateful",
+    "txt_collocations_pmi",
 ]
 
 BUILD_SNIPPET = """

@@ -707,3 +707,176 @@ def read_iceberg_table(spark: SparkSession, table_dir: str,
                   .drop("_eqseq", *[f"_eqd_{k}"
                                     for k in range(len(names))]))
     return df.select(*cols)
+
+
+# ------------------------------------------------------------- maintenance
+# A 100 TB table with streaming appends accumulates exactly two kinds of
+# debt the readers above pay for on every query: small data files + long
+# manifest chains (scan-planning cost) and merge-on-read delete files
+# (per-query join cost). These two ops are the jar-less analogs of Iceberg's
+# rewrite_data_files and expire_snapshots maintenance actions.
+
+def compact_table(spark: SparkSession, table_dir: str,
+                  n_files: int = 1) -> dict:
+    """Commit a REWRITE (compaction) snapshot: materialize the CURRENT live
+    rows (position AND equality deletes applied), rewrite them as
+    ``n_files`` parquet files, and commit a snapshot whose manifest list
+    holds ONLY the new data manifest — small-file sprawl, manifest chains
+    and merge-on-read delete debt all fold into a clean copy-on-write
+    state. Earlier snapshots stay readable (time travel) until
+    expire_snapshots reclaims them. ``n_files`` is the sandbox stand-in for
+    a target-file-size knob (a 100 TB run sizes files at 256-1024 MB)."""
+    import glob
+    import json
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    from ..kernel.avrox import write_ocf
+
+    meta = _load_meta(table_dir)
+    version = meta.pop("_version")
+    live = read_iceberg_table(spark, table_dir)
+    expected_rows = live.count()
+
+    data_dir = os.path.join(table_dir, "data")
+    meta_dir = os.path.join(table_dir, "metadata")
+    before = set(glob.glob(os.path.join(data_dir, "*.parquet")))
+    # the source file list is pinned inside read_iceberg_table, so reading
+    # and appending to the same data/ dir cannot self-feed
+    live.repartition(n_files).write.mode("append").parquet(data_dir)
+    new_files = sorted(set(glob.glob(os.path.join(data_dir, "*.parquet")))
+                       - before)
+
+    snap_id = meta["current-snapshot-id"] + 1
+    seq = meta["last-sequence-number"] + 1
+    entries, total_rows = [], 0
+    for p in new_files:
+        n = pq.ParquetFile(p).metadata.num_rows
+        total_rows += n
+        entries.append({
+            "status": 1, "snapshot_id": snap_id, "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {"content": 0, "file_path": os.path.abspath(p),
+                          "file_format": "PARQUET", "partition": {},
+                          "record_count": n,
+                          "file_size_in_bytes": os.path.getsize(p)}})
+    if total_rows != expected_rows:
+        for p in new_files:
+            os.remove(p)
+        raise RuntimeError(
+            f"iceberg compact: rewrote {total_rows} rows but the live "
+            f"table has {expected_rows} — another writer interfered; "
+            "table metadata NOT updated")
+    manifest_path = os.path.join(meta_dir, f"manifest-{snap_id}-rw.avro")
+    with open(manifest_path, "wb") as f:
+        f.write(write_ocf(_MANIFEST_SCHEMA, entries))
+    mlist_path = os.path.join(meta_dir,
+                              f"snap-{snap_id}-manifest-list.avro")
+    with open(mlist_path, "wb") as f:
+        # REPLACE semantics: the new manifest list references ONLY the
+        # rewrite manifest — prior manifests (and their delete files) are
+        # no longer part of the current snapshot
+        f.write(write_ocf(_MANIFEST_LIST_SCHEMA, [{
+            "manifest_path": os.path.abspath(manifest_path),
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": 0, "content": 0,
+            "sequence_number": seq, "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_data_files_count": len(entries),
+            "existing_data_files_count": 0, "deleted_data_files_count": 0,
+            "added_rows_count": total_rows, "existing_rows_count": 0,
+            "deleted_rows_count": 0}]))
+    prev_id = meta["current-snapshot-id"]
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    meta["current-snapshot-id"] = snap_id
+    meta["snapshots"].append({
+        "snapshot-id": snap_id, "sequence-number": seq,
+        "timestamp-ms": int(time.time() * 1000),
+        "manifest-list": os.path.abspath(mlist_path),
+        "summary": {"operation": "replace"}, "schema-id": 0,
+        "parent-snapshot-id": prev_id})
+    meta["refs"] = {"main": {"snapshot-id": snap_id, "type": "branch"}}
+    with open(os.path.join(meta_dir,
+                           f"v{version + 1}.metadata.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(version + 1))
+    return {"snapshot_id": snap_id, "data_files": len(new_files),
+            "rows": total_rows}
+
+
+def _snapshot_file_refs(snap: dict) -> set:
+    """Every file path a snapshot's manifest tree references (manifest
+    list, manifests, data + delete files — any entry status, so carried-
+    forward history can't be deleted out from under a kept snapshot)."""
+    import os
+
+    from ..kernel.avrox import read_ocf
+
+    refs = set()
+    mlist = os.path.abspath(_strip_scheme(snap["manifest-list"]))
+    refs.add(mlist)
+    with open(mlist, "rb") as f:
+        _, manifests = read_ocf(f.read())
+    for m in manifests:
+        mp = os.path.abspath(_strip_scheme(m["manifest_path"]))
+        refs.add(mp)
+        with open(mp, "rb") as f:
+            _, entries = read_ocf(f.read())
+        for e in entries:
+            refs.add(os.path.abspath(
+                _strip_scheme(e["data_file"]["file_path"])))
+    return refs
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
+    """Expire all but the newest ``keep_last`` snapshots (by snapshot id;
+    the current snapshot is always kept): write a v{N+1}.metadata.json
+    whose snapshot list holds only the kept ones, then DELETE every
+    manifest list, manifest, data and delete file that no kept snapshot
+    references. Time travel to an expired snapshot now raises; this is the
+    storage-reclaim half of the compaction story (compact first, then
+    expire, and the pre-compaction file sprawl is physically gone)."""
+    import json
+    import os
+    import time
+
+    meta = _load_meta(table_dir)
+    version = meta.pop("_version")
+    snaps = sorted(meta["snapshots"], key=lambda s: s["snapshot-id"])
+    kept = snaps[-max(keep_last, 1):]
+    if not any(s["snapshot-id"] == meta["current-snapshot-id"]
+               for s in kept):
+        raise ValueError("iceberg expire: keep_last window excludes the "
+                         "current snapshot")
+    expired = snaps[:-max(keep_last, 1)]
+    if not expired:
+        return {"expired": 0, "deleted_files": 0}
+
+    keep_refs = set()
+    for s in kept:
+        keep_refs |= _snapshot_file_refs(s)
+    drop_refs = set()
+    for s in expired:
+        drop_refs |= _snapshot_file_refs(s)
+    orphans = drop_refs - keep_refs
+
+    meta["snapshots"] = kept
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    meta_dir = os.path.join(table_dir, "metadata")
+    with open(os.path.join(meta_dir,
+                           f"v{version + 1}.metadata.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(version + 1))
+    # metadata committed first: a crash mid-delete leaves unreferenced
+    # files (harmless), never a kept snapshot with missing files
+    deleted = 0
+    for p in sorted(orphans):
+        if os.path.exists(p):
+            os.remove(p)
+            deleted += 1
+    return {"expired": len(expired), "deleted_files": deleted}

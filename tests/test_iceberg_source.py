@@ -393,3 +393,74 @@ def test_iceberg_append_row_attribution_check(spark, tmp_path):
     with pytest.raises(RuntimeError, match="attribution"):
         append_iceberg_snapshot(
             Lying(spark.createDataFrame([(4,)], "id long")), t)
+
+
+def test_iceberg_compact_and_expire(spark, tmp_path):
+    """Maintenance cycle: appends + both delete kinds accumulate
+    merge-on-read debt; compact_table folds it into one clean file
+    (REPLACE snapshot, deletes applied, history still time-travelable);
+    expire_snapshots then physically reclaims the pre-compaction sprawl
+    while the current snapshot keeps working."""
+    import glob
+    import os
+
+    import pytest
+
+    from hadoopsearchengine_spark.sources.iceberg import (
+        append_iceberg_snapshot, compact_table, expire_snapshots,
+        iceberg_scan, read_iceberg_table, write_equality_deletes,
+        write_iceberg_table, write_position_deletes)
+
+    t = f"{tmp_path}/tbl"
+    write_iceberg_table(spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(10)],
+        "id long, grp string").coalesce(2), t)              # snap 1
+    append_iceberg_snapshot(spark.createDataFrame(
+        [(i, "c") for i in range(10, 14)], "id long, grp string"), t)
+    write_equality_deletes(t, [{"grp": "b"}])               # kills 0,2,..8
+    files = iceberg_scan(t, snapshot_id=1)["data"]
+    import pyarrow.parquet as pq
+    first_id = int(pq.read_table(files[0], columns=["id"])["id"][0].as_py())
+    write_position_deletes(t, [(files[0], 0)])              # kills 1 more
+    want = {i for i in range(14) if i % 2 or i >= 10} - {first_id}
+    assert {r["id"] for r in read_iceberg_table(spark, t).collect()} == want
+
+    pre_files = len(glob.glob(os.path.join(t, "data", "*.parquet")))
+    info = compact_table(spark, t, n_files=1)
+    assert info["rows"] == len(want)
+    # current snapshot: ONE data file, ZERO delete files
+    scan = iceberg_scan(t)
+    assert len(scan["data"]) == 1
+    assert not scan["position_deletes"] and not scan["equality_deletes"]
+    assert {r["id"] for r in read_iceberg_table(spark, t).collect()} == want
+    # history still reachable pre-expiry
+    assert read_iceberg_table(spark, t, snapshot_id=1).count() == 10
+
+    out = expire_snapshots(t, keep_last=1)
+    assert out["expired"] == 4
+    post_files = glob.glob(os.path.join(t, "data", "*.parquet"))
+    assert len(post_files) == 1 and pre_files > 1   # sprawl reclaimed
+    assert {r["id"] for r in read_iceberg_table(spark, t).collect()} == want
+    with pytest.raises(ValueError, match="not in table"):
+        read_iceberg_table(spark, t, snapshot_id=1)
+    # idempotent second expiry
+    assert expire_snapshots(t, keep_last=1) == {"expired": 0,
+                                                "deleted_files": 0}
+
+
+def test_iceberg_expire_keeps_shared_manifests(spark, tmp_path):
+    """An expired snapshot's manifests carried FORWARD into kept snapshots
+    must survive expiry (reference-counted, not blind-deleted): after
+    expiring snap 1 while keeping snaps 2+3, snap 2's reads (which reuse
+    snap 1's manifest) still work."""
+    from hadoopsearchengine_spark.sources.iceberg import (
+        append_iceberg_snapshot, expire_snapshots, read_iceberg_table,
+        write_iceberg_table)
+
+    t = f"{tmp_path}/tbl"
+    write_iceberg_table(spark.createDataFrame([(1,)], "id long"), t)
+    append_iceberg_snapshot(spark.createDataFrame([(2,)], "id long"), t)
+    append_iceberg_snapshot(spark.createDataFrame([(3,)], "id long"), t)
+    expire_snapshots(t, keep_last=2)   # snap 1 expires; 2,3 carry its files
+    assert read_iceberg_table(spark, t).count() == 3
+    assert read_iceberg_table(spark, t, snapshot_id=2).count() == 2
