@@ -1723,10 +1723,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's first-50 correctness window always covers every
     # op changed since its last green check, plus a rotating slice of the
     # long-unchanged green ops; oldest byte-identical green entries sit last.
-    # r5 window: the 2 new ops, the 5 ops whose code/oracle changed this
-    # round, then the 18 entries whose last driver check was r3 (r4 verdict
-    # Next №2 — every entry's driver evidence stays <= 2 rounds old), then
-    # r4-green fill; the overflow tail is all r4-green and byte-unchanged.
+    # r5 window: the 7 new ops (incl. the second-wave iceberg
+    # deletes/maintenance, stateful streaming dedup, PMI), the 5 ops whose
+    # code/oracle changed this round, then the 18 entries whose last driver
+    # check was r3 (r4 verdict Next №2 — every entry's driver evidence stays
+    # <= 2 rounds old), then r4-green fill; everything past 50 is r4-green
+    # and byte-unchanged this round.
     return {
         # -- new in r5 --
         "graph_keyword_distribution": q_graph_keyword_distribution,

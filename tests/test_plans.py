@@ -191,3 +191,33 @@ def test_substr_dedup_plan_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashAggregate" in plan            # map-side combined count
+
+
+def test_r5_second_wave_plan_shapes(spark, tmp_path):
+    """Second-wave plan claims: (a) the equality-delete merge-on-read must
+    apply EVERY delete structure broadcast (the corpus side never
+    shuffles): position anti-join, per-group equality joins, and the
+    path->seq attach are all BroadcastHashJoins; (b) txt_collocations_pmi
+    is two map-side-combined count aggregates + joins with NO cartesian
+    and no Python eval in the plan."""
+    from hadoopsearchengine_spark.sources.iceberg import (
+        write_equality_deletes, write_iceberg_table, write_position_deletes,
+        iceberg_data_files, read_iceberg_table)
+    import __spark_entry__ as E
+
+    t = f"{tmp_path}/tbl"
+    write_iceberg_table(spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(30)], "id long, grp string"), t)
+    write_position_deletes(t, [(iceberg_data_files(t)[0], 0)])
+    write_equality_deletes(t, [{"grp": "g0"}])
+    plan = _plan(read_iceberg_table(spark, t))
+    for marker in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+                   "BroadcastNestedLoopJoin"):
+        assert marker not in plan, (marker, plan[:2000])
+    assert plan.count("BroadcastHashJoin") >= 3   # pos anti, seq, eq group
+
+    plan = _plan(E.queries()["txt_collocations_pmi"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan                # partial agg map-side
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
