@@ -912,8 +912,13 @@ def q_stream_hourly_window(spark, sf):
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name).select(
+    out = spark.table(name).select(
         F.col("w.start").alias("hour"), "event_type", "n", "total_value")
+    # materialize + drop the memory sink (it would otherwise live for the
+    # whole session — one leaked table per invocation)
+    out = out.localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def q_stream_dedup_stateful(spark, sf):
@@ -1053,7 +1058,11 @@ def q_txt_collocations_pmi(spark, sf):
     toks = tokens_col(F.col("text"))
     tok = d.select(F.explode(toks).alias("t"))
     uni = tok.groupBy("t").agg(F.count("*").alias("c"))
-    T = tok.count()
+    # both corpus totals from ONE scan (no explode): T = total tokens,
+    # B = total adjacent bigrams
+    T, B = d.select(
+        F.sum(F.size(toks)),
+        F.sum(F.greatest(F.size(toks) - 1, F.lit(0)))).collect()[0]
     idx = F.when(F.size(toks) >= 2,
                  F.sequence(F.lit(0), F.size(toks) - 2)
                  ).otherwise(F.array().cast("array<int>"))
@@ -1062,8 +1071,6 @@ def q_txt_collocations_pmi(spark, sf):
                                 F.element_at(toks, i + 2).alias("t2")))
     big = (d.select(F.explode(pair_arr).alias("p")).select("p.t1", "p.t2")
            .groupBy("t1", "t2").agg(F.count("*").alias("c_xy")))
-    B = d.select(F.sum(F.greatest(F.size(toks) - 1, F.lit(0)))
-                 ).collect()[0][0]
     scored = (big.filter(F.col("c_xy") >= PMI_MIN_PAIR)
               .join(uni.select(F.col("t").alias("t1"),
                                F.col("c").alias("c_x")), "t1")

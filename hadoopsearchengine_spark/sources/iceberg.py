@@ -258,6 +258,58 @@ def write_iceberg_table(df: DataFrame, table_dir: str) -> dict:
             "manifest_list": mlist_path}
 
 
+def _mlist_record(manifest_path: str, content: int, seq: int,
+                  snap_id: int, n_files: int, n_rows: int) -> dict:
+    """A manifest-list record for one freshly written manifest."""
+    import os
+    return {"manifest_path": os.path.abspath(manifest_path),
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": 0, "content": content,
+            "sequence_number": seq, "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_data_files_count": n_files,
+            "existing_data_files_count": 0, "deleted_data_files_count": 0,
+            "added_rows_count": n_rows, "existing_rows_count": 0,
+            "deleted_rows_count": 0}
+
+
+def _commit_snapshot(table_dir: str, meta: dict, version: int,
+                     mlist_records: list, snap_id: int, seq: int,
+                     operation: str, parent_id: int | None) -> None:
+    """The ONE commit tail every writer shares (append / delete / rewrite):
+    write snap-{id}-manifest-list.avro, advance the metadata (sequence,
+    current snapshot, snapshot list, main ref), write v{N+1}.metadata.json
+    and flip the version hint. A protocol change (snapshot-log, catalog
+    CAS) lands here once instead of diverging across writers."""
+    import json
+    import os
+    import time
+
+    from ..kernel.avrox import write_ocf
+
+    meta_dir = os.path.join(table_dir, "metadata")
+    mlist_path = os.path.join(meta_dir,
+                              f"snap-{snap_id}-manifest-list.avro")
+    with open(mlist_path, "wb") as f:
+        f.write(write_ocf(_MANIFEST_LIST_SCHEMA, mlist_records))
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    meta["current-snapshot-id"] = snap_id
+    snap = {"snapshot-id": snap_id, "sequence-number": seq,
+            "timestamp-ms": int(time.time() * 1000),
+            "manifest-list": os.path.abspath(mlist_path),
+            "summary": {"operation": operation}, "schema-id": 0}
+    if parent_id is not None:
+        snap["parent-snapshot-id"] = parent_id
+    meta["snapshots"].append(snap)
+    meta["refs"] = {"main": {"snapshot-id": snap_id, "type": "branch"}}
+    with open(os.path.join(meta_dir,
+                           f"v{version + 1}.metadata.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(version + 1))
+
+
 def append_iceberg_snapshot(df: DataFrame, table_dir: str) -> dict:
     """Append ``df`` to an existing table as a NEW snapshot: new parquet
     files into data/, a new Avro manifest, a manifest list carrying the
@@ -317,34 +369,11 @@ def append_iceberg_snapshot(df: DataFrame, table_dir: str) -> dict:
     manifest_path = os.path.join(meta_dir, f"manifest-{snap_id}.avro")
     with open(manifest_path, "wb") as f:
         f.write(write_ocf(_MANIFEST_SCHEMA, entries))
-    mlist_path = os.path.join(
-        meta_dir, f"snap-{snap_id}-manifest-list.avro")
-    with open(mlist_path, "wb") as f:
-        f.write(write_ocf(_MANIFEST_LIST_SCHEMA, prev_manifests + [{
-            "manifest_path": os.path.abspath(manifest_path),
-            "manifest_length": os.path.getsize(manifest_path),
-            "partition_spec_id": 0, "content": 0,
-            "sequence_number": seq, "min_sequence_number": seq,
-            "added_snapshot_id": snap_id,
-            "added_data_files_count": len(entries),
-            "existing_data_files_count": 0, "deleted_data_files_count": 0,
-            "added_rows_count": total_rows, "existing_rows_count": 0,
-            "deleted_rows_count": 0}]))
-    meta["last-sequence-number"] = seq
-    meta["last-updated-ms"] = int(time.time() * 1000)
-    meta["current-snapshot-id"] = snap_id
-    meta["snapshots"].append({
-        "snapshot-id": snap_id, "sequence-number": seq,
-        "timestamp-ms": int(time.time() * 1000),
-        "manifest-list": os.path.abspath(mlist_path),
-        "summary": {"operation": "append"}, "schema-id": 0,
-        "parent-snapshot-id": prev_snap["snapshot-id"]})
-    meta["refs"] = {"main": {"snapshot-id": snap_id, "type": "branch"}}
-    with open(os.path.join(meta_dir,
-                           f"v{version + 1}.metadata.json"), "w") as f:
-        json.dump(meta, f, indent=1)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
-        f.write(str(version + 1))
+    _commit_snapshot(
+        table_dir, meta, version,
+        prev_manifests + [_mlist_record(manifest_path, 0, seq, snap_id,
+                                        len(entries), total_rows)],
+        snap_id, seq, "append", prev_snap["snapshot-id"])
     return {"snapshot_id": snap_id, "data_files": len(new_files),
             "rows": total_rows}
 
@@ -515,34 +544,11 @@ def _commit_delete_snapshot(table_dir: str, write_parquet,
                                  f"manifest-{snap_id}-{kind}.avro")
     with open(manifest_path, "wb") as f:
         f.write(write_ocf(_MANIFEST_SCHEMA, entries))
-    mlist_path = os.path.join(meta_dir,
-                              f"snap-{snap_id}-manifest-list.avro")
-    with open(mlist_path, "wb") as f:
-        f.write(write_ocf(_MANIFEST_LIST_SCHEMA, prev_manifests + [{
-            "manifest_path": os.path.abspath(manifest_path),
-            "manifest_length": os.path.getsize(manifest_path),
-            "partition_spec_id": 0, "content": 1,     # DELETES manifest
-            "sequence_number": seq, "min_sequence_number": seq,
-            "added_snapshot_id": snap_id,
-            "added_data_files_count": 1,
-            "existing_data_files_count": 0, "deleted_data_files_count": 0,
-            "added_rows_count": n_rows, "existing_rows_count": 0,
-            "deleted_rows_count": 0}]))
-    meta["last-sequence-number"] = seq
-    meta["last-updated-ms"] = int(time.time() * 1000)
-    meta["current-snapshot-id"] = snap_id
-    meta["snapshots"].append({
-        "snapshot-id": snap_id, "sequence-number": seq,
-        "timestamp-ms": int(time.time() * 1000),
-        "manifest-list": os.path.abspath(mlist_path),
-        "summary": {"operation": "delete"}, "schema-id": 0,
-        "parent-snapshot-id": prev_snap["snapshot-id"]})
-    meta["refs"] = {"main": {"snapshot-id": snap_id, "type": "branch"}}
-    with open(os.path.join(meta_dir,
-                           f"v{version + 1}.metadata.json"), "w") as f:
-        json.dump(meta, f, indent=1)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
-        f.write(str(version + 1))
+    _commit_snapshot(
+        table_dir, meta, version,
+        prev_manifests + [_mlist_record(manifest_path, 1, seq, snap_id,
+                                        1, n_rows)],      # DELETES manifest
+        snap_id, seq, "delete", prev_snap["snapshot-id"])
     return {"snapshot_id": snap_id, "deletes": n_rows,
             "delete_file": del_path}
 
@@ -680,9 +686,17 @@ def read_iceberg_table(spark: SparkSession, table_dir: str,
         seq_df = spark.createDataFrame(
             [(p, int(s)) for p, s in scan["data_seqs"].items()],
             "_seq_path string, _dseq long")
+        # fail LOUDLY if a data file is missing from the seq map (a path
+        # normalization mismatch would otherwise null _dseq and the filter
+        # below would silently over-delete that file's matching rows)
         df = (df.join(F.broadcast(seq_df),
                       F.col("_fp") == F.col("_seq_path"), "left")
-              .drop("_seq_path"))
+              .drop("_seq_path")
+              .withColumn("_dseq", F.coalesce(
+                  F.col("_dseq"),
+                  F.raise_error(F.concat(
+                      F.lit("iceberg: data file missing from the "
+                            "sequence-number map: "), F.col("_fp"))))))
         groups: dict[tuple, list] = {}
         for d in scan["equality_deletes"]:
             groups.setdefault(tuple(d["equality_ids"]), []).append(d)
@@ -737,7 +751,9 @@ def compact_table(spark: SparkSession, table_dir: str,
 
     meta = _load_meta(table_dir)
     version = meta.pop("_version")
-    live = read_iceberg_table(spark, table_dir)
+    # persist: the merge-on-read plan (scan + delete joins) would otherwise
+    # evaluate twice — once for the row-count guard, once for the rewrite
+    live = read_iceberg_table(spark, table_dir).persist()
     expected_rows = live.count()
 
     data_dir = os.path.join(table_dir, "data")
@@ -745,7 +761,10 @@ def compact_table(spark: SparkSession, table_dir: str,
     before = set(glob.glob(os.path.join(data_dir, "*.parquet")))
     # the source file list is pinned inside read_iceberg_table, so reading
     # and appending to the same data/ dir cannot self-feed
-    live.repartition(n_files).write.mode("append").parquet(data_dir)
+    try:
+        live.repartition(n_files).write.mode("append").parquet(data_dir)
+    finally:
+        live.unpersist()
     new_files = sorted(set(glob.glob(os.path.join(data_dir, "*.parquet")))
                        - before)
 
@@ -772,38 +791,14 @@ def compact_table(spark: SparkSession, table_dir: str,
     manifest_path = os.path.join(meta_dir, f"manifest-{snap_id}-rw.avro")
     with open(manifest_path, "wb") as f:
         f.write(write_ocf(_MANIFEST_SCHEMA, entries))
-    mlist_path = os.path.join(meta_dir,
-                              f"snap-{snap_id}-manifest-list.avro")
-    with open(mlist_path, "wb") as f:
-        # REPLACE semantics: the new manifest list references ONLY the
-        # rewrite manifest — prior manifests (and their delete files) are
-        # no longer part of the current snapshot
-        f.write(write_ocf(_MANIFEST_LIST_SCHEMA, [{
-            "manifest_path": os.path.abspath(manifest_path),
-            "manifest_length": os.path.getsize(manifest_path),
-            "partition_spec_id": 0, "content": 0,
-            "sequence_number": seq, "min_sequence_number": seq,
-            "added_snapshot_id": snap_id,
-            "added_data_files_count": len(entries),
-            "existing_data_files_count": 0, "deleted_data_files_count": 0,
-            "added_rows_count": total_rows, "existing_rows_count": 0,
-            "deleted_rows_count": 0}]))
-    prev_id = meta["current-snapshot-id"]
-    meta["last-sequence-number"] = seq
-    meta["last-updated-ms"] = int(time.time() * 1000)
-    meta["current-snapshot-id"] = snap_id
-    meta["snapshots"].append({
-        "snapshot-id": snap_id, "sequence-number": seq,
-        "timestamp-ms": int(time.time() * 1000),
-        "manifest-list": os.path.abspath(mlist_path),
-        "summary": {"operation": "replace"}, "schema-id": 0,
-        "parent-snapshot-id": prev_id})
-    meta["refs"] = {"main": {"snapshot-id": snap_id, "type": "branch"}}
-    with open(os.path.join(meta_dir,
-                           f"v{version + 1}.metadata.json"), "w") as f:
-        json.dump(meta, f, indent=1)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
-        f.write(str(version + 1))
+    # REPLACE semantics: the new manifest list references ONLY the rewrite
+    # manifest — prior manifests (and their delete files) are no longer
+    # part of the current snapshot
+    _commit_snapshot(
+        table_dir, meta, version,
+        [_mlist_record(manifest_path, 0, seq, snap_id, len(entries),
+                       total_rows)],
+        snap_id, seq, "replace", meta["current-snapshot-id"])
     return {"snapshot_id": snap_id, "data_files": len(new_files),
             "rows": total_rows}
 
@@ -832,14 +827,23 @@ def _snapshot_file_refs(snap: dict) -> set:
     return refs
 
 
-def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
+def expire_snapshots(table_dir: str, keep_last: int = 1,
+                     remove_orphans: bool = False) -> dict:
     """Expire all but the newest ``keep_last`` snapshots (by snapshot id;
     the current snapshot is always kept): write a v{N+1}.metadata.json
     whose snapshot list holds only the kept ones, then DELETE every
     manifest list, manifest, data and delete file that no kept snapshot
     references. Time travel to an expired snapshot now raises; this is the
     storage-reclaim half of the compaction story (compact first, then
-    expire, and the pre-compaction file sprawl is physically gone)."""
+    expire, and the pre-compaction file sprawl is physically gone).
+
+    ``remove_orphans=True`` additionally sweeps files that NO snapshot
+    ever referenced — the debris a writer crashed between its data write
+    and its metadata commit leaves behind (e.g. a failed compact_table's
+    full rewritten copy), which reference-diffing alone can never see.
+    Single-writer only, like every writer here: a concurrent in-flight
+    append's not-yet-committed files would look like orphans."""
+    import glob
     import json
     import os
     import time
@@ -853,8 +857,6 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
         raise ValueError("iceberg expire: keep_last window excludes the "
                          "current snapshot")
     expired = snaps[:-max(keep_last, 1)]
-    if not expired:
-        return {"expired": 0, "deleted_files": 0}
 
     keep_refs = set()
     for s in kept:
@@ -863,18 +865,25 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
     for s in expired:
         drop_refs |= _snapshot_file_refs(s)
     orphans = drop_refs - keep_refs
+    if remove_orphans:
+        on_disk = {os.path.abspath(p) for pat in
+                   ("data/*.parquet", "metadata/manifest-*.avro",
+                    "metadata/snap-*-manifest-list.avro")
+                   for p in glob.glob(os.path.join(table_dir, pat))}
+        orphans |= on_disk - keep_refs
 
-    meta["snapshots"] = kept
-    meta["last-updated-ms"] = int(time.time() * 1000)
-    meta_dir = os.path.join(table_dir, "metadata")
-    with open(os.path.join(meta_dir,
-                           f"v{version + 1}.metadata.json"), "w") as f:
-        json.dump(meta, f, indent=1)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
-        f.write(str(version + 1))
+    deleted = 0
+    if expired:
+        meta["snapshots"] = kept
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        meta_dir = os.path.join(table_dir, "metadata")
+        with open(os.path.join(meta_dir,
+                               f"v{version + 1}.metadata.json"), "w") as f:
+            json.dump(meta, f, indent=1)
+        with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+            f.write(str(version + 1))
     # metadata committed first: a crash mid-delete leaves unreferenced
     # files (harmless), never a kept snapshot with missing files
-    deleted = 0
     for p in sorted(orphans):
         if os.path.exists(p):
             os.remove(p)

@@ -84,6 +84,11 @@ def streaming_exact_dedup(spark: SparkSession, src_dir: str, schema,
            .agg(F.min("keep_id").alias("keep_id"),
                 F.max("n_docs").alias("n_docs"))
            .select("text_md5", "n_docs", "keep_id"))
+    # materialize (cutting lineage to the memory-sink table), then drop the
+    # sink — otherwise every invocation leaks a corpus-keyed driver-side
+    # table for the life of the SparkSession
+    out = out.localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
     # surface batch count for tests (proves state crossed microbatches)
     out._stream_n_batches = n_batches  # type: ignore[attr-defined]
     return out

@@ -464,3 +464,33 @@ def test_iceberg_expire_keeps_shared_manifests(spark, tmp_path):
     expire_snapshots(t, keep_last=2)   # snap 1 expires; 2,3 carry its files
     assert read_iceberg_table(spark, t).count() == 3
     assert read_iceberg_table(spark, t, snapshot_id=2).count() == 2
+
+
+def test_iceberg_expire_remove_orphans(spark, tmp_path):
+    """remove_orphans sweeps debris NO snapshot references (the crashed-
+    writer leak: data written, metadata never committed) while leaving
+    every kept snapshot's files intact — even when nothing is expired."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoopsearchengine_spark.sources.iceberg import (
+        expire_snapshots, read_iceberg_table, write_iceberg_table)
+
+    t = f"{tmp_path}/tbl"
+    write_iceberg_table(spark.createDataFrame(
+        [(1,), (2,)], "id long"), t)
+    # emulate a compaction that died before its metadata commit
+    debris = os.path.join(t, "data", "part-crashed-rewrite.parquet")
+    pq.write_table(pa.table({"id": pa.array([99], pa.int64())}), debris)
+
+    out = expire_snapshots(t, keep_last=1)           # default: no sweep
+    assert out == {"expired": 0, "deleted_files": 0}
+    assert os.path.exists(debris)
+
+    out = expire_snapshots(t, keep_last=1, remove_orphans=True)
+    assert out == {"expired": 0, "deleted_files": 1}
+    assert not os.path.exists(debris)
+    assert {r["id"] for r in read_iceberg_table(spark, t).collect()} \
+        == {1, 2}
