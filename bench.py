@@ -84,10 +84,12 @@ SCALE_PAGES = int(os.environ.get("SCALE_PAGES", "240000"))
 SCALE_PARTS = int(os.environ.get(
     "SCALE_PARTS", str(max(4 * SCALE_HIGH, SCALE_PAGES // 3750))))
 # wall-clock ceiling for the whole scaling section (checked between
-# pairs; the first pair always completes). 2000 s admits all 3 pairs in a
-# normal window (~14 min/pair) and degrades to 1-2 pairs when the host is
-# bad, keeping the whole bench bounded at roughly an hour worst-case.
-SCALE_BUDGET_SEC = int(os.environ.get("SCALE_BUDGET_SEC", "2000"))
+# pairs; the first pair always completes). 2600 s admits ~4 pairs in a
+# normal window (~11 min/pair) and 2 pairs when the host is degraded
+# (observed 18-min pairs under tenant load) — the extra pair matters
+# because a loaded window needs more tries to observe a clean 8-core
+# wall; per-pair snapshots bound the cost of a hard kill either way.
+SCALE_BUDGET_SEC = int(os.environ.get("SCALE_BUDGET_SEC", "2600"))
 
 HEADLINE = [
     "rel_tpch_q1", "rel_hash_join", "rel_topk_per_group", "rel_merge_set",
@@ -454,6 +456,22 @@ def main():
             pair_eff = runs[lo][i]["sec"] / (factor * runs[hi][i]["sec"])
             print(f"  rep{rep} pair efficiency: {pair_eff:.3f}",
                   file=sys.stderr)
+            # provisional stanza + snapshot after EVERY pair: a hard kill
+            # (driver timeout) mid-section still leaves the completed
+            # pairs on the record instead of losing the whole section
+            blo = min(r["sec"] for r in runs[lo])
+            bhi = min(r["sec"] for r in runs[hi])
+            result["scaling"] = {
+                "in_progress": True, "n_pages": sc_pages,
+                "cores_low": lo, "cores_high": hi,
+                "t_low_all": [round(r["sec"], 2) for r in runs[lo]],
+                "t_high_all": [round(r["sec"], 2) for r in runs[hi]],
+                "efficiency_pairs_all": [
+                    round(a["sec"] / (factor * b["sec"]), 3)
+                    for a, b in zip(runs[lo], runs[hi])],
+                "efficiency_best": round(blo / (factor * bhi), 3),
+            }
+            bench.emit()
             if pair_eff >= SCALE_TARGET_EFF:
                 print(f"  target {SCALE_TARGET_EFF} reached — stopping",
                       file=sys.stderr)
