@@ -1258,6 +1258,21 @@ def q_sim_ann_ivf(spark, sf):
         emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5)
 
 
+def q_sim_ann_pq(spark, sf):
+    """Product-quantization ADC cosine top-5 with exact re-rank — the
+    memory-compression leg of the ANN family (64 float dims -> 4 one-byte
+    codes; the corpus-wide scan touches only codes, then the ADC top-100
+    shortlist per query fetches full vectors for the exact re-rank, the
+    FAISS IVFADC-with-refinement pattern). Codebooks come from the SAME
+    deterministic Lloyd core as IVF (strided init, ties -> lowest,
+    9-decimal rounding) run per 16-dim subspace, so the DuckDB oracle
+    replays codebooks, corpus codes, shortlists and re-ranked scores
+    exactly; recall vs the exact scan is asserted in tests."""
+    emb = load(spark, sf, "embeddings")
+    return similarity.cosine_topk_pq(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5)
+
+
 def q_src_json_roundtrip(spark, sf):
     """Source-format coverage (the reference reads only its own binary
     framing, SURVEY §2.4 — CSV/JSON/ORC come free in Spark): events written
@@ -1750,6 +1765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_features": q_mm_audio_features,
         "sim_semdedup": q_sim_semdedup,
         "sim_ann_ivf": q_sim_ann_ivf,
+        "sim_ann_pq": q_sim_ann_pq,
         "graph_expected_reward": q_graph_expected_reward,
         # -- last driver check r3; rotated into the window --
         "rel_key_occurrence": q_rel_key_occurrence,
@@ -2777,6 +2793,121 @@ def oracle_sql() -> dict[str, str]:
                        FROM dots)
             SELECT q_id, rank, n_id, round(c, 6) AS cosine
             FROM ranked WHERE rank <= {_ivf_k}"""
+    # sim_ann_pq: the SAME deterministic Lloyd discipline run per 16-dim
+    # subspace (4 subspaces x 16 codes x 3 iterations, unrolled like
+    # IVF's), then corpus codes (argmin ties -> lowest), per-(subspace,
+    # code) reconstruction norms, per-query ADC dot tables, the ROUNDED-ADC
+    # shortlist (rank <= 100, ties -> n_id; rounded so the cutoff is
+    # engine-independent) and the exact-cosine re-rank of the shortlist.
+    # pbook{m} is MATERIALIZED: it is referenced three times (codes, norms,
+    # dp) and DuckDB would otherwise re-inline the whole Lloyd chain per
+    # reference.
+    _pq_m, _pq_codes, _pq_iters, _pq_dsub, _pq_k = 4, 16, 3, 16, 5
+    _pq_rerank = 100
+    _pq_ctes, _pq_allc, _pq_alln2, _pq_alldp = [], [], [], []
+    for mm in range(_pq_m):
+        off = mm * _pq_dsub
+        _pq_ctes.append(f"""
+            selm{mm} AS (SELECT rid, i - {off} AS j, v FROM sel
+                         WHERE i > {off} AND i <= {off + _pq_dsub}),
+            pc{mm}0 AS (SELECT cs.code, e.j, e.v
+                        FROM (SELECT unnest(range({_pq_codes})) AS code) cs
+                        CROSS JOIN nsamp
+                        JOIN selm{mm} e
+                          ON e.rid = (cs.code * nsamp.n) // {_pq_codes})""")
+        for t in range(_pq_iters):
+            _pq_ctes.append(f"""
+            pd{mm}{t} AS (SELECT e.rid, c.code,
+                                 sum((e.v - c.v) * (e.v - c.v)) AS d2
+                          FROM selm{mm} e JOIN pc{mm}{t} c ON e.j = c.j
+                          GROUP BY 1, 2),
+            pa{mm}{t} AS (SELECT rid, code FROM (
+                            SELECT rid, code,
+                                   row_number() OVER (PARTITION BY rid
+                                       ORDER BY d2 ASC, code ASC) AS rk
+                            FROM pd{mm}{t}) WHERE rk = 1),
+            pm{mm}{t} AS (SELECT a.code, e.j, avg(e.v) AS v
+                          FROM pa{mm}{t} a JOIN selm{mm} e
+                            ON a.rid = e.rid GROUP BY 1, 2),
+            pc{mm}{t + 1} AS (SELECT p.code, p.j,
+                                     round(coalesce(n.v, p.v), 9) AS v
+                              FROM pc{mm}{t} p LEFT JOIN pm{mm}{t} n
+                                ON p.code = n.code AND p.j = n.j)""")
+        _pq_ctes.append(f"""
+            pbook{mm} AS MATERIALIZED (SELECT * FROM pc{mm}{_pq_iters}),
+            pvd{mm} AS (SELECT e.vec_id, c.code,
+                               sum((e.v - c.v) * (e.v - c.v)) AS d2
+                        FROM (SELECT vec_id, i - {off} AS j, v FROM ev
+                              WHERE i > {off} AND i <= {off + _pq_dsub}) e
+                        JOIN pbook{mm} c ON e.j = c.j GROUP BY 1, 2),
+            pcode{mm} AS (SELECT vec_id, code FROM (
+                            SELECT vec_id, code,
+                                   row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d2 ASC, code ASC) AS rk
+                            FROM pvd{mm}) WHERE rk = 1),
+            pn2_{mm} AS (SELECT code, sum(v * v) AS n2 FROM pbook{mm}
+                         GROUP BY 1),
+            pdp{mm} AS (SELECT q.vec_id AS q_id, c.code,
+                               sum(q.v * c.v) AS dp
+                        FROM (SELECT vec_id, i - {off} AS j, v FROM ev
+                              WHERE vec_id < 10
+                                AND i > {off} AND i <= {off + _pq_dsub}) q
+                        JOIN pbook{mm} c ON q.j = c.j GROUP BY 1, 2)""")
+        _pq_allc.append(
+            f"SELECT vec_id, {mm} AS m, code FROM pcode{mm}")
+        _pq_alln2.append(f"SELECT {mm} AS m, code, n2 FROM pn2_{mm}")
+        _pq_alldp.append(f"SELECT q_id, {mm} AS m, code, dp FROM pdp{mm}")
+    sql['sim_ann_pq'] = f"""
+            WITH srows AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+                                  AS rid, embedding
+                           FROM (SELECT vec_id, embedding FROM embeddings
+                                 ORDER BY vec_id LIMIT 4096)),
+            nsamp AS (SELECT count(*) AS n FROM srows),
+            sel AS (SELECT rid, generate_subscripts(embedding, 1) AS i,
+                           CAST(unnest(embedding) AS DOUBLE) AS v
+                    FROM srows),
+            ev AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                          CAST(unnest(embedding) AS DOUBLE) AS v
+                   FROM embeddings),
+            {",".join(_pq_ctes)},
+            allc AS ({" UNION ALL ".join(_pq_allc)}),
+            alln2 AS ({" UNION ALL ".join(_pq_alln2)}),
+            alldp AS ({" UNION ALL ".join(_pq_alldp)}),
+            vn2 AS (SELECT c.vec_id, sum(n.n2) AS rn2
+                    FROM allc c JOIN alln2 n
+                      ON c.m = n.m AND c.code = n.code GROUP BY 1),
+            qn AS (SELECT vec_id AS q_id, sqrt(sum(v * v)) AS nq
+                   FROM ev WHERE vec_id < 10 GROUP BY 1),
+            sc AS (SELECT d.q_id, c.vec_id AS n_id, sum(d.dp) AS adot
+                   FROM allc c JOIN alldp d
+                     ON c.m = d.m AND c.code = d.code
+                   WHERE c.vec_id != d.q_id GROUP BY 1, 2),
+            shortl AS (SELECT q_id, n_id FROM (
+                         SELECT s.q_id, s.n_id,
+                                row_number() OVER (PARTITION BY s.q_id
+                                    ORDER BY round(s.adot
+                                        / (q.nq * sqrt(v.rn2)), 6) DESC,
+                                        s.n_id ASC) AS rk
+                         FROM sc s
+                         JOIN qn q ON s.q_id = q.q_id
+                         JOIN vn2 v ON s.n_id = v.vec_id)
+                       WHERE rk <= {_pq_rerank}),
+            exd AS (SELECT sl.q_id, sl.n_id, sum(q.v * n.v) AS dot
+                    FROM shortl sl
+                    JOIN ev q ON q.vec_id = sl.q_id
+                    JOIN ev n ON n.vec_id = sl.n_id AND n.i = q.i
+                    GROUP BY 1, 2),
+            nn AS (SELECT vec_id, sqrt(sum(v * v)) AS nv FROM ev
+                   GROUP BY 1),
+            rr AS (SELECT e.q_id, e.n_id, e.dot / (q.nq * n.nv) AS c,
+                          row_number() OVER (PARTITION BY e.q_id
+                              ORDER BY e.dot / (q.nq * n.nv) DESC,
+                                  e.n_id ASC) AS rank
+                   FROM exd e
+                   JOIN qn q ON e.q_id = q.q_id
+                   JOIN nn n ON e.n_id = n.vec_id)
+            SELECT q_id, rank, n_id, round(c, 6) AS cosine
+            FROM rr WHERE rank <= {_pq_k}"""
     # sim_semdedup: same Lloyd cells, then intra-cell pairs above the cosine
     # threshold feed the txt_neardup_groups label-round machinery (edges /
     # lab0 / _neardup_label_rounds conventions)

@@ -214,10 +214,26 @@ def train_cells_strided(vectors: DataFrame, n_cells: int,
     iteration so numpy pairwise summation and SQL aggregate order cannot
     drift apart. At 100 TB the sample is a tiny TakeOrdered collect; only
     the assignment (distributed, see callers) touches the full corpus."""
-    sample = np.array(
+    sample = _id_ordered_sample(vectors, id_col, vec_col)
+    return _lloyd_strided(sample, n_cells, kmeans_iters)
+
+
+def _id_ordered_sample(vectors: DataFrame, id_col: str,
+                       vec_col: str) -> "np.ndarray":
+    """First 4096 vectors by id (TakeOrdered, not partition order) — the
+    deterministic training sample every kmeans-based op shares."""
+    return np.array(
         [np.asarray(r[vec_col], dtype=np.float64)
          for r in vectors.select(id_col, vec_col)
                          .orderBy(id_col).limit(4096).collect()])
+
+
+def _lloyd_strided(sample: "np.ndarray", n_cells: int,
+                   kmeans_iters: int) -> "np.ndarray":
+    """The deterministic Lloyd core (strided init, argmin ties -> lowest
+    cell, empty cells keep their centroid, per-iteration 9-decimal
+    rounding) shared by the IVF trainer and the PQ codebook trainer so the
+    SQL oracles replay identical cells in both."""
     stride_idx = [c * len(sample) // n_cells for c in range(n_cells)]
     cents = sample[stride_idx].copy()
     for _ in range(kmeans_iters):
@@ -449,3 +465,153 @@ def _subblocked_cell_pairs(cells: DataFrame, nsub: dict[int, int],
 
     return (tiles.groupBy("cell", "tile")
             .applyInPandas(gemm, "a long, b long, cosine double"))
+
+
+def train_pq_codebooks(vectors: DataFrame, dim: int, m: int = 4,
+                       n_codes: int = 16, kmeans_iters: int = 3,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> "np.ndarray":
+    """(m, n_codes, dim//m) product-quantization codebooks: the embedding
+    space split into ``m`` contiguous subspaces, each quantized by an
+    INDEPENDENT run of the shared deterministic Lloyd core on the same
+    id-ordered 4096-row sample (Jegou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search" §III). Deterministic and relational, so
+    the sim_ann_pq DuckDB oracle replays every codebook."""
+    if dim % m:
+        raise ValueError(f"pq: dim {dim} not divisible by m {m}")
+    sample = _id_ordered_sample(vectors, id_col, vec_col)
+    dsub = dim // m
+    return np.stack([
+        _lloyd_strided(sample[:, mm * dsub:(mm + 1) * dsub],
+                       n_codes, kmeans_iters)
+        for mm in range(m)])
+
+
+def cosine_topk_pq(vectors: DataFrame, queries: DataFrame, dim: int,
+                   k: int = 5, m: int = 4, n_codes: int = 16,
+                   kmeans_iters: int = 3, rerank: int | None = 100,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   round_to: int = 6) -> DataFrame:
+    """Product-quantization ADC approximate top-k cosine — the memory-
+    compression leg of the ANN family (exact scan / LSH / IVF / PQ): each
+    corpus vector is stored as ``m`` one-byte codes (here 64 float32 dims
+    -> 4 codes: a 64x compression), and queries score against the
+    RECONSTRUCTED vector via asymmetric distance computation — per-subspace
+    dot products against the codebooks, never the original vectors
+    (Jegou et al. 2011 §IV).
+
+    Execution shape (100 TB): codebooks are m*n_codes tiny centroids
+    embedded as LITERALS; encoding is a map-only JVM projection (per
+    subspace: argmin over n_codes of an F.aggregate squared distance, ties
+    -> lowest code — array_min over (d2, code) structs); scoring joins the
+    BROADCAST query set against the (id, codes) stream and sums
+    element_at lookups into the per-query dot-product tables, also JVM —
+    zero Python UDFs, zero shuffles beyond the final per-query top-k
+    window. The corpus' float vectors are read once (encode) and never
+    shuffled; a deployment would persist the codes column and scan 4 bytes
+    a vector instead of 256.
+
+    ``rerank``: the deployment pattern (FAISS IVFADC-with-refinement) —
+    the ADC scan SHORTLISTS ``rerank`` candidates per query from codes
+    alone, then ONLY those fetch their full vectors for an exact cosine
+    re-rank to top-k. The returned cosine is then the TRUE cosine of each
+    survivor; the corpus-wide scan still touches only codes. With
+    ``rerank=None`` the raw ADC scores rank directly (pure-compression
+    mode; recall is poor on unclustered vectors — quantized scores of
+    i.i.d. embeddings concentrate, which is why refinement is the
+    default).
+
+    Every step is deterministic and SQL-expressible (the IVF discipline:
+    strided init, ties -> lowest, 9-decimal centroid rounding), so the
+    driver's DuckDB oracle replays codebooks, codes, ADC shortlists and
+    the re-ranked scores exactly. Recall vs the exact scan is asserted in
+    tests."""
+    books = train_pq_codebooks(vectors, dim, m, n_codes, kmeans_iters,
+                               id_col, vec_col)
+    dsub = dim // m
+
+    def lit_arr(vals):
+        return F.array(*[F.lit(float(v)) for v in vals])
+
+    vec = F.col(vec_col)
+    # encode: per subspace, the code minimizing ||x_sub - c||^2 (ties ->
+    # lowest code via struct ordering)
+    code_cols = []
+    for mm in range(m):
+        sub = F.slice(vec, mm * dsub + 1, dsub)
+        cands = F.array(*[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(sub, lit_arr(books[mm][c]),
+                               lambda x, y: (x.cast("double") - y)
+                               * (x.cast("double") - y)),
+                    F.lit(0.0), lambda acc, v: acc + v).alias("d2"),
+                F.lit(c).alias("code"))
+            for c in range(n_codes)])
+        code_cols.append(F.array_min(cands)["code"].alias(f"code{mm}"))
+    n = vectors.select(F.col(id_col).alias("n_id"), *code_cols)
+
+    # reconstruction norm^2 per (subspace, code), as literals (python-float
+    # sequential sums — the SQL oracle sums the same 9-decimal centroids)
+    n2 = [[sum(float(x) * float(x) for x in books[mm][c])
+           for c in range(n_codes)] for mm in range(m)]
+    recon_n2 = None
+    for mm in range(m):
+        term = F.element_at(lit_arr(n2[mm]), F.col(f"code{mm}") + 1)
+        recon_n2 = term if recon_n2 is None else recon_n2 + term
+
+    # per-query ADC tables: dps[mm][c] = dot(q_sub, codebook[mm][c]),
+    # computed JVM-side on the broadcast query rows
+    qvec = F.col("q_vec")
+    dp_cols = []
+    for mm in range(m):
+        qsub = F.slice(qvec, mm * dsub + 1, dsub)
+        dp_cols.append(F.array(*[
+            F.aggregate(
+                F.zip_with(qsub, lit_arr(books[mm][c]),
+                           lambda x, y: x.cast("double") * y),
+                F.lit(0.0), lambda acc, v: acc + v)
+            for c in range(n_codes)]).alias(f"dps{mm}"))
+    q = queries.select(F.col(id_col).alias("q_id"),
+                       F.col(vec_col).alias("q_vec")) \
+        .select("q_id", _norm(qvec).alias("q_norm"), *dp_cols)
+
+    adot = None
+    for mm in range(m):
+        term = F.element_at(F.col(f"dps{mm}"), F.col(f"code{mm}") + 1)
+        adot = term if adot is None else adot + term
+    pairs = (n.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+             .withColumn("cosine",
+                         adot / (F.col("q_norm") * F.sqrt(recon_n2))))
+    win = W.partitionBy("q_id").orderBy(F.col("cosine").desc(),
+                                        F.col("n_id").asc())
+    if rerank is None:
+        return (pairs.withColumn("rank", F.row_number().over(win))
+                .filter(F.col("rank") <= k)
+                .select("q_id", "rank", "n_id",
+                        F.round("cosine", round_to).alias("cosine")))
+    # shortlist boundary ordered on the ROUNDED ADC score (ties -> n_id):
+    # raw doubles could differ from the SQL oracle in the last ulp (group
+    # sums vs sequential folds) and flip membership at rank == rerank;
+    # rounding makes the cutoff engine-independent
+    swin = W.partitionBy("q_id").orderBy(
+        F.round(F.col("cosine"), round_to).desc(), F.col("n_id").asc())
+    short = (pairs.withColumn("rank", F.row_number().over(swin))
+             .filter(F.col("rank") <= rerank).select("q_id", "n_id"))
+    # re-rank: candidates (queries x rerank rows) broadcast against the
+    # STREAMED corpus — the full vectors are never shuffled
+    cand = short.join(
+        F.broadcast(queries.select(F.col(id_col).alias("q_id"),
+                                   F.col(vec_col).alias("q_vec"))),
+        "q_id")
+    nv = vectors.select(F.col(id_col).alias("n_id"),
+                        F.col(vec_col).alias("n_vec"))
+    exact = (nv.join(F.broadcast(cand), "n_id")
+             .withColumn("cosine",
+                         _dot(F.col("q_vec"), F.col("n_vec"))
+                         / (_norm(F.col("q_vec"))
+                            * _norm(F.col("n_vec")))))
+    return (exact.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "rank", "n_id",
+                    F.round("cosine", round_to).alias("cosine")))

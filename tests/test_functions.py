@@ -514,3 +514,40 @@ def test_semdedup_giant_cell_split(spark):
         .groupBy("cell", "blk").count().collect())
     got = max(int(r["count"]) for r in sizes)
     assert got <= 2 * 32, got            # every GEMM tile leg is bounded
+
+
+def test_pq_ann_recall_and_compression(spark):
+    """PQ-ADC with exact re-rank: recall vs the exact scan is bounded
+    below (the ADC top-100 shortlist catches most true neighbors); the
+    returned cosine of overlapping pairs IS the true cosine (re-rank
+    fetches full vectors); pure-ADC mode (rerank=None) still runs and its
+    scores differ from the truth only by quantization error. Deterministic:
+    second run identical."""
+    from pyspark.sql import functions as F
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, q, k=5).collect()
+    pq = similarity.cosine_topk_pq(emb, q, dim=64, k=5).collect()
+    exact_set = {(r["q_id"], r["n_id"]) for r in exact}
+    pq_set = {(r["q_id"], r["n_id"]) for r in pq}
+    recall = len(exact_set & pq_set) / len(exact_set)
+    assert recall >= 0.5, recall
+    exact_scores = {(r["q_id"], r["n_id"]): r["cosine"] for r in exact}
+    for r in pq:
+        key = (r["q_id"], r["n_id"])
+        if key in exact_scores:
+            # re-ranked survivors carry the TRUE cosine
+            assert abs(r["cosine"] - exact_scores[key]) <= 1e-6, r
+    again = similarity.cosine_topk_pq(emb, q, dim=64, k=5).collect()
+    assert sorted(map(tuple, pq)) == sorted(map(tuple, again))
+
+    raw = similarity.cosine_topk_pq(emb, q, dim=64, k=5,
+                                    rerank=None).collect()
+    for r in raw:
+        key = (r["q_id"], r["n_id"])
+        if key in exact_scores:
+            # pure ADC scores a reconstruction, not the vector
+            assert abs(r["cosine"] - exact_scores[key]) < 0.5, r
+
+    books = similarity.train_pq_codebooks(emb, dim=64)
+    assert books.shape == (4, 16, 16)
