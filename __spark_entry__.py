@@ -38,6 +38,24 @@ def _trunc6(col):
     return F.floor(col * 1000000.0) / 1000000.0
 
 
+def _fanout(df: DataFrame) -> DataFrame:
+    """Guide §2.5 'input skew — one unsplittable file': the testdata tables
+    are single-file, SINGLE-ROW-GROUP parquet, so a scan can never provide
+    more than one task and every row-heavy map above it (tokenize, shingle,
+    md5, join probe) serializes on one core — measured as `(0 + 1) / 1`
+    stage bars on 32-core sessions (r6 round-start, OPTIMIZATION_r06.md).
+    When the source under-partitions the cluster, round-robin repartition
+    to defaultParallelism; the shuffled payload is the pruned projection
+    (a few MB here), bought back ~30x in map parallelism. Scale-adaptive,
+    not a local tune: a many-file table at real scale already fans out and
+    is returned untouched, and the target tracks the cluster size."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p)
+
+
 # --------------------------------------------------------------------------
 # relational operators (SURVEY §2.1 MapReduce-primitive re-expressions)
 # --------------------------------------------------------------------------
@@ -196,7 +214,7 @@ def q_evt_json_extract(spark, sf):
 def q_txt_token_counts(spark, sf):
     """DyableLogFile word counting (WordLogEntry.h:100-125): top-100 tokens
     by (count desc, token asc) under the engine tokenizer."""
-    d = load(spark, sf, "documents")
+    d = _fanout(load(spark, sf, "documents").select("text"))
     toks = d.select(F.explode(tokens_col(F.col("text"))).alias("token"))
     return (toks.groupBy("token").agg(F.count("*").alias("n"))
             .orderBy(F.col("n").desc(), F.col("token").asc()).limit(100))
@@ -339,7 +357,7 @@ def q_txt_c4_rules(spark, sf):
 
 def q_txt_term_doc_stats(spark, sf):
     """Term dictionary with df/cf (CreateWordList.cpp:22-109)."""
-    d = load(spark, sf, "documents")
+    d = _fanout(load(spark, sf, "documents").select("doc_id", "text"))
     per_doc = (d.select("doc_id",
                         F.explode(tokens_col(F.col("text"))).alias("token"))
                .groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
@@ -370,17 +388,20 @@ def q_txt_quality(spark, sf):
 
 def q_txt_minhash_sig(spark, sf):
     return dedup.minhash_signatures(
-        load(spark, sf, "documents"), "text", "doc_id")
+        _fanout(load(spark, sf, "documents").select("doc_id", "text")),
+        "text", "doc_id")
 
 
 def q_txt_minhash_lsh(spark, sf):
     return dedup.minhash_lsh_pairs(
-        load(spark, sf, "documents"), "text", "doc_id")
+        _fanout(load(spark, sf, "documents").select("doc_id", "text")),
+        "text", "doc_id")
 
 
 def q_txt_ngram_jaccard(spark, sf):
     return dedup.ngram_jaccard_pairs(
-        load(spark, sf, "documents"), "text", "doc_id", threshold=0.5)
+        _fanout(load(spark, sf, "documents").select("doc_id", "text")),
+        "text", "doc_id", threshold=0.5)
 
 
 NEARDUP_ITERS = 6  # fixed propagation rounds, unrolled in the SQL oracle
@@ -392,7 +413,8 @@ def q_txt_neardup_groups(spark, sf):
     components via min-label propagation, dedup.neardup_groups) -> one
     survivor per group, mirroring exact_dedup's keep_id contract."""
     docs = load(spark, sf, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id")
+    pairs = dedup.minhash_lsh_pairs(
+        _fanout(docs.select("doc_id", "text")), "text", "doc_id")
     return dedup.neardup_groups(pairs, docs, "doc_id",
                                 iters=NEARDUP_ITERS)
 
@@ -404,13 +426,15 @@ def q_txt_simhash(spark, sf):
     """SimHash signatures in md5 mode (bit b from nibble b//4 of the md5 hex
     digest) — DuckDB recomputes the identical signature, so this op has a
     full value oracle (r1 had rows-only with Spark-specific xxhash64)."""
-    return dedup.simhash(load(spark, sf, "documents"), "text", "doc_id",
-                         bits=SIMHASH_BITS, hash_fn="md5")
+    return dedup.simhash(
+        _fanout(load(spark, sf, "documents").select("doc_id", "text")),
+        "text", "doc_id", bits=SIMHASH_BITS, hash_fn="md5")
 
 
 def q_txt_simhash_pairs(spark, sf):
-    sig = dedup.simhash(load(spark, sf, "documents"), "text", "doc_id",
-                        bits=SIMHASH_BITS, hash_fn="md5")
+    sig = dedup.simhash(
+        _fanout(load(spark, sf, "documents").select("doc_id", "text")),
+        "text", "doc_id", bits=SIMHASH_BITS, hash_fn="md5")
     return dedup.simhash_near_pairs(sig, "doc_id", max_hamming=6,
                                     bits=SIMHASH_BITS)
 
@@ -425,12 +449,21 @@ def q_txt_bm25_topk(spark, sf):
 
 
 def _bm25_topk(spark, sf, k):
-    d = load(spark, sf, "documents")
+    d = _fanout(load(spark, sf, "documents").select("doc_id", "text"))
     per_doc = (d.select("doc_id",
                         F.explode(tokens_col(F.col("text"))).alias("token"))
                .groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
-    dl = per_doc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    n_docs = d.count()
+    # dl = sum(tf) over a doc's terms == size of its token array: DOC-LOCAL
+    # (r6) — the r5 shape re-aggregated the exploded per_doc stream a second
+    # time just to count it. Zero-token docs are absent from per_doc; the
+    # explode guard drops them identically WITHOUT a Filter node (a dl>0
+    # Filter would predicate-push the tokenizer onto the single-task scan,
+    # dedup._tokens_frame notes).
+    _sz = F.size(tokens_col(F.col("text")))
+    dl = d.select("doc_id", F.explode(
+        F.when(_sz > 0, F.array(_sz)).otherwise(
+            F.array().cast("array<int>"))).alias("dl"))
+    n_docs = load(spark, sf, "documents").count()
     avgdl = dl.agg(F.avg("dl")).collect()[0][0]
     qt = per_doc.filter(F.col("token").isin(BM25_QUERY_TERMS))
     dfs = qt.groupBy("token").agg(F.count("*").alias("df"))
@@ -463,12 +496,16 @@ def q_txt_bm25_batch(spark, sf):
     per request, DyableQuery). Shape: the tiny (query_id, token) table
     broadcasts onto the per-doc term stream, so the corpus is scanned and
     aggregated once for ALL queries; per-query top-5 via one window."""
-    d = load(spark, sf, "documents")
+    d = _fanout(load(spark, sf, "documents").select("doc_id", "text"))
     per_doc = (d.select("doc_id",
                         F.explode(tokens_col(F.col("text"))).alias("token"))
                .groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
-    dl = per_doc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    n_docs = d.count()
+    # doc-local dl — same rationale and equivalence as _bm25_topk (r6)
+    _sz = F.size(tokens_col(F.col("text")))
+    dl = d.select("doc_id", F.explode(
+        F.when(_sz > 0, F.array(_sz)).otherwise(
+            F.array().cast("array<int>"))).alias("dl"))
+    n_docs = load(spark, sf, "documents").count()
     avgdl = dl.agg(F.avg("dl")).collect()[0][0]
     qterms = spark.createDataFrame(
         [(qid, t) for qid, ts in BM25_BATCH_QUERIES for t in ts],
@@ -1020,18 +1057,24 @@ def q_txt_cooccur(spark, sf):
     """CreateAssociations (reference DyableAssociations/CreateAssociations.
     cpp:1-10): ordered term pairs co-occurring within a 4-position window,
     top-100 by count."""
-    d = load(spark, sf, "documents")
+    d = _fanout(load(spark, sf, "documents").select("text"))
     # Scale-safe shape (VERDICT r1): emit the <=4-gap pairs directly from the
     # token array JVM-side — for token i, pair it with the next WINDOW tokens
     # via slice+transform — O(WINDOW * L) rows per doc, NO per-doc position
     # self-join (which materializes L^2 rows before the band filter).
-    toks = tokens_col(F.col("text"))
+    # r6: the token array is bound as a column first — HOF lambdas evaluate
+    # interpreted with no CSE, so an inlined tokenizer would re-run its
+    # regex once per (position x window slot); and no token-count Filter,
+    # which would predicate-push the tokenizer onto the single-task scan
+    # (dedup._tokens_frame notes). Empty docs are dropped by the explode.
+    tk = d.select(tokens_col(F.col("text")).alias("_tk"))
+    toks = F.col("_tk")
     pair_arr = F.flatten(F.transform(
         toks,
         lambda t, i: F.transform(
             F.slice(toks, i + F.lit(2), F.lit(COOCCUR_WINDOW)),
             lambda u: F.struct(t.alias("t1"), u.alias("t2")))))
-    pairs = d.select(F.explode(pair_arr).alias("p")).select("p.t1", "p.t2")
+    pairs = tk.select(F.explode(pair_arr).alias("p")).select("p.t1", "p.t2")
     return (pairs.groupBy("t1", "t2").agg(F.count("*").alias("n"))
             .orderBy(F.col("n").desc(), "t1", "t2").limit(100))
 
@@ -1047,35 +1090,51 @@ def q_txt_collocations_pmi(spark, sf):
     frequency so stopword pairs don't drown real phrases (Church & Hanks
     1990) — the standard phrase-mining pass for LLM-corpus curation.
 
-    Shuffle shape: two map-side-combined count aggregates (unigrams from
-    one explode, bigrams generated JVM-side in the scan projection like
-    txt_cooccur) + two joins of the bigram table onto the vocab-sized
-    unigram counts; corpus text never shuffles, no UDFs. The totals T/B
-    are two scalar aggregates. Float determinism: PMI is one ln of a
-    left-associated double product/ratio, rounded to 6dp in the identical
+    Shuffle shape (r6): ONE tokenize pass — every position is emitted as a
+    (token, next-token-or-null) struct, so one map-side-combined count
+    aggregate feeds everything: bigram counts (rows with non-null next),
+    unigram counts (sum over next per token — every occurrence has exactly
+    one row), and the corpus totals T = sum of all counts / B = sum of the
+    non-null-next counts. The r5 shape scanned + tokenized the corpus three
+    times (unigram explode, T/B scalar pass, bigram explode). Totals are
+    collected from the vocab-sized count table and embedded as literals
+    (the r5 pattern; a constant-key totals join folds to a nested-loop
+    node, which the plan audit forbids), unigram counts broadcast onto
+    the bigram table (vocab-sized). Corpus text never shuffles, no
+    UDFs. Float determinism: PMI is one ln of a left-associated double
+    product/ratio of exact integers, rounded to 6dp in the identical
     operation order as the oracle (the txt_keywords_tfidf precedent)."""
-    d = load(spark, sf, "documents")
-    toks = tokens_col(F.col("text"))
-    tok = d.select(F.explode(toks).alias("t"))
-    uni = tok.groupBy("t").agg(F.count("*").alias("c"))
-    # both corpus totals from ONE scan (no explode): T = total tokens,
-    # B = total adjacent bigrams
-    T, B = d.select(
-        F.sum(F.size(toks)),
-        F.sum(F.greatest(F.size(toks) - 1, F.lit(0)))).collect()[0]
-    idx = F.when(F.size(toks) >= 2,
-                 F.sequence(F.lit(0), F.size(toks) - 2)
+    d = _fanout(load(spark, sf, "documents").select("text"))
+    # token array bound as a column: HOF lambdas evaluate interpreted with
+    # no CSE, so an inlined tokenizer would re-run per position; no
+    # token-count Filter (it would predicate-push the tokenizer onto the
+    # single-task scan) — the explode drops empty docs
+    # (dedup._tokens_frame notes)
+    tk = d.select(tokens_col(F.col("text")).alias("_tk"))
+    toks = F.col("_tk")
+    idx = F.when(F.size(toks) >= 1,
+                 F.sequence(F.lit(0), F.size(toks) - 1)
                  ).otherwise(F.array().cast("array<int>"))
-    pair_arr = F.transform(
-        idx, lambda i: F.struct(F.element_at(toks, i + 1).alias("t1"),
-                                F.element_at(toks, i + 2).alias("t2")))
-    big = (d.select(F.explode(pair_arr).alias("p")).select("p.t1", "p.t2")
-           .groupBy("t1", "t2").agg(F.count("*").alias("c_xy")))
+    # (token at i, token at i+1 | null at the last position) — F.get is
+    # 0-based and null-safe out of bounds (element_at would raise in ANSI)
+    pos_arr = F.transform(
+        idx, lambda i: F.struct(F.get(toks, i).alias("t1"),
+                                F.get(toks, i + 1).alias("t2")))
+    pc = (tk.select(F.explode(pos_arr).alias("p")).select("p.t1", "p.t2")
+          .groupBy("t1", "t2").agg(F.count("*").alias("c")))
+    uni = pc.groupBy("t1").agg(F.sum("c").alias("c")).select(
+        F.col("t1").alias("t"), "c")
+    T, B = pc.agg(
+        F.sum("c"),
+        F.sum(F.when(F.col("t2").isNotNull(), F.col("c"))
+              .otherwise(F.lit(0)))).collect()[0]
+    big = (pc.filter(F.col("t2").isNotNull())
+           .withColumnRenamed("c", "c_xy"))
     scored = (big.filter(F.col("c_xy") >= PMI_MIN_PAIR)
-              .join(uni.select(F.col("t").alias("t1"),
-                               F.col("c").alias("c_x")), "t1")
-              .join(uni.select(F.col("t").alias("t2"),
-                               F.col("c").alias("c_y")), "t2")
+              .join(F.broadcast(uni.select(F.col("t").alias("t1"),
+                                           F.col("c").alias("c_x"))), "t1")
+              .join(F.broadcast(uni.select(F.col("t").alias("t2"),
+                                           F.col("c").alias("c_y"))), "t2")
               .withColumn("pmi", F.round(F.log(
                   (F.col("c_xy") * 1.0 * F.lit(int(T)) * F.lit(int(T)))
                   / (F.col("c_x") * 1.0 * F.col("c_y") * F.lit(int(B)))),
@@ -1086,14 +1145,21 @@ def q_txt_collocations_pmi(spark, sf):
 
 def q_txt_keywords_tfidf(spark, sf):
     """Excerpt-keyword selection re-expressed as per-doc top-3 tf-idf terms
-    (reference keeps top N=17 keywords/excerpt, DyableCommand.cpp:42)."""
-    d = load(spark, sf, "documents")
-    n_docs = d.count()
+    (reference keeps top N=17 keywords/excerpt, DyableCommand.cpp:42).
+
+    r6: document frequency via count().over(partitionBy(token)) on the
+    per-doc term table instead of a separate aggregate + join-back — one
+    exchange of the term table replaces the r5 aggregate-exchange PLUS the
+    join-shuffle of the same table (guide §2.4: two operations keyed the
+    same way share one exchange). Row count per token is identical to the
+    joined df by construction."""
+    d = _fanout(load(spark, sf, "documents").select("doc_id", "text"))
+    n_docs = load(spark, sf, "documents").count()
     per_doc = (d.select("doc_id",
                         F.explode(tokens_col(F.col("text"))).alias("token"))
                .groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
-    dfs = per_doc.groupBy("token").agg(F.count("*").alias("df"))
-    scored = (per_doc.join(dfs, "token")
+    scored = (per_doc
+              .withColumn("df", F.count("*").over(W.partitionBy("token")))
               .withColumn("tfidf", F.round(
                   F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")),
                   6)))
@@ -1137,23 +1203,30 @@ def q_txt_keywords_phrases(spark, sf):
     txt_repetition (now an exchange-free kernel), this op is NOT doc-local —
     it needs corpus document frequencies AND a per-doc rank window, so a
     kernel per-doc tf would remove only the first of its exchanges while
-    the (keyword-df, join-back, doc-window) shuffles remain; and the
-    count(*) aggregation map-side-combines, so the exchange already carries
+    the (keyword-df, doc-window) shuffles remain; and the count(*)
+    aggregation map-side-combines, so the exchange already carries
     ~distinct-keywords rows per (doc, task), not the raw 2L explode. Kept
-    relational."""
-    d = load(spark, sf, "documents")
-    n_docs = d.count()
-    toks = tokens_col(F.col("text"))
+    relational. r6: keyword df via count().over(partitionBy(keyword))
+    instead of aggregate + join-back — one exchange of the term table
+    replaces two (same change as txt_keywords_tfidf, guide §2.4)."""
+    d = _fanout(load(spark, sf, "documents").select("doc_id", "text"))
+    n_docs = load(spark, sf, "documents").count()
+    # token array bound as a column — interpreted HOF lambdas re-run an
+    # inlined tokenizer per position; no token-count Filter (it would
+    # predicate-push the tokenizer onto the single-task scan) — the
+    # explode drops empty docs (dedup._tokens_frame notes)
+    tk = d.select("doc_id", tokens_col(F.col("text")).alias("_tk"))
+    toks = F.col("_tk")
     idx = F.when(F.size(toks) >= 2,
                  F.sequence(F.lit(0), F.size(toks) - 2)
                  ).otherwise(F.array().cast("array<int>"))
     bigrams = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
-    per_doc = (d.select("doc_id",
-                        F.explode(F.concat(toks, bigrams)).alias("keyword"))
+    per_doc = (tk.select("doc_id",
+                         F.explode(F.concat(toks, bigrams)).alias("keyword"))
                .groupBy("doc_id", "keyword").agg(F.count("*").alias("tf")))
-    dfs = per_doc.groupBy("keyword").agg(F.count("*").alias("df"))
-    scored = (per_doc.join(dfs, "keyword")
+    scored = (per_doc
+              .withColumn("df", F.count("*").over(W.partitionBy("keyword")))
               .withColumn("tfidf", F.round(
                   F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")),
                   6)))

@@ -25,21 +25,62 @@ N_MINHASH = 8
 N_BANDS = 4  # rows-per-band = 2
 
 
-def token_shingles(df: DataFrame, text_col: str, id_col: str,
-                   n: int = 3) -> DataFrame:
-    """Distinct n-token shingles per doc: (id, shingle). Tokens per the
-    engine tokenizer (functions.text.tokens_col)."""
-    from .text import tokens_col
-    toks = tokens_col(F.col(text_col))
-    # Guard short docs: size-n < 0 would make F.sequence descend ([0,-1])
-    # and F.slice throw on start index 0. Short/empty docs → zero shingles.
+def _shingles_of(toks, n: int):
+    """Distinct n-token shingle array expression over a token array
+    expression/column. Guard short docs: size-n < 0 would make F.sequence
+    descend ([0,-1]) and F.slice throw on start index 0; short/empty docs
+    → zero shingles."""
     idx = F.when(F.size(toks) >= n,
                  F.sequence(F.lit(0), F.size(toks) - n)
                  ).otherwise(F.array().cast("array<int>"))
-    shingles = F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    )
-    return df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+
+
+def _tokens_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, _tk array<string>) — the tokenizer bound as a column.
+
+    PERFORMANCE NOTES (r6, measured on the sf0.1 corpus):
+    - Every shingle consumer must reference the token ARRAY as a
+      materialized column, never inline the tokenizer expression into a
+      lambda. HOF lambdas (transform/slice) evaluate interpreted — no
+      codegen, no common-subexpression elimination — so an inlined
+      tokenizer re-runs its regex PER ELEMENT (~25 CPU-seconds per explode
+      stage vs ~0.5s for the chained-column shape). `_tk` is
+      multi-referenced by _shingles_of, which stops CollapseProject from
+      inlining it.
+    - NO Filter on token counts here (or in any caller near the scan):
+      PushDownPredicate inlines such a filter through the projection and
+      the fan-out exchange onto the unsplittable single-task scan, where
+      the interpreted tokenizer re-evaluation costs ~10s serial. Row drops
+      are expressed as empty-array explodes (in-projection guards), which
+      nothing pushes down."""
+    from .text import tokens_col
+    return df.select(F.col(id_col),
+                     tokens_col(F.col(text_col)).alias("_tk"))
+
+
+def doc_shingles(df: DataFrame, text_col: str, id_col: str,
+                 n: int = 3) -> DataFrame:
+    """Doc-LOCAL distinct n-token shingles: (id, shingles array<string>),
+    one row per input doc (possibly empty array). Tokens per the engine
+    tokenizer (functions.text.tokens_col); see _tokens_frame for the
+    evaluation-shape rationale."""
+    tk = _tokens_frame(df, text_col, id_col)
+    return tk.select(F.col(id_col),
+                     _shingles_of(F.col("_tk"), n).alias("shingles"))
+
+
+def token_shingles(df: DataFrame, text_col: str, id_col: str,
+                   n: int = 3) -> DataFrame:
+    """Distinct n-token shingles per doc: (id, shingle). Tokens per the
+    engine tokenizer (functions.text.tokens_col). Docs without shingles
+    are dropped by the explode itself — no Filter node (see
+    _tokens_frame)."""
+    tk = _tokens_frame(df, text_col, id_col)
+    return tk.select(F.col(id_col),
+                     F.explode(_shingles_of(F.col("_tk"), n))
+                     .alias("shingle"))
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -58,30 +99,65 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     """Per-doc MinHash signature columns mh0..mh{H-1}: for permutation j,
     mh_j = min over shingles of md5(j || '|' || shingle). md5-as-permutation
     is deterministic and reproducible in any engine (the oracle recomputes it
-    in SQL)."""
-    sh = token_shingles(df, text_col, id_col, shingle_n)
-    aggs = [F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle"))))
-            .alias(f"mh{j}") for j in range(n_hashes)]
-    return sh.groupBy(id_col).agg(*aggs)
+    in SQL).
+
+    r6: computed DOC-LOCALLY — mh_j = array_min over the doc's distinct
+    shingle array, entirely in the scan-side projections. The r5 shape
+    exploded S shingle rows and shuffled them into a groupBy(id)
+    min-aggregate; the explode + exchange are gone, the md5 count is
+    unchanged, and array_min-of-md5-hex == groupBy min (both binary string
+    order). Docs with zero shingles (fewer than shingle_n tokens) are
+    dropped by the token-count filter exactly as the explode dropped them.
+
+    Shape note: the token array is bound in its own select and referenced
+    by every mh column (see _tokens_frame perf note); the per-column
+    shingle rebuild is cheap array work. The zero-shingle row drop is an
+    empty-array explode guard, NOT a Filter — a Filter on token counts
+    gets predicate-pushed (alias-inlined) onto the single-task scan and
+    re-tokenizes there, serially and interpreted (~10s at sf0.1)."""
+    tk = _tokens_frame(df, text_col, id_col)
+
+    def _perm(j):
+        # single-arg lambda closure: a two-parameter lambda would be read
+        # by F.transform as (element, index) and shadow j with the index
+        prefix = F.lit(f"{j}|")
+        return lambda s: F.md5(F.concat(prefix, s))
+
+    sh = _shingles_of(F.col("_tk"), shingle_n)
+    sig_struct = F.struct(*[
+        F.array_min(F.transform(sh, _perm(j))).alias(f"mh{j}")
+        for j in range(n_hashes)])
+    guarded = F.when(F.size(F.col("_tk")) >= shingle_n,
+                     F.array(sig_struct)).otherwise(
+        F.array().cast(f"array<struct<{','.join(f'mh{j}:string' for j in range(n_hashes))}>>"))
+    return (tk.select(F.col(id_col), F.explode(guarded).alias("_s"))
+            .select(F.col(id_col), *[F.col(f"_s.mh{j}").alias(f"mh{j}")
+                                     for j in range(n_hashes)]))
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       n_hashes: int = N_MINHASH, n_bands: int = N_BANDS,
                       shingle_n: int = 3) -> DataFrame:
     """LSH banding: docs sharing any band signature become candidate pairs
-    (a, b) with a < b. Shuffle is on band keys only."""
+    (a, b) with a < b.
+
+    r6: the band keys are derived in the same map-only pipeline as the
+    signatures and exploded doc-locally (the r5 shape unioned 4 selects
+    over the signature subtree, re-running the final aggregate per band),
+    then hash-repartitioned ONCE on band_key: the self-join's two sides
+    are co-partitioned projections of that single exchange (ReusedExchange
+    — without it each side would recompute the whole signature pipeline),
+    so band keys and doc ids, never shingles, cross the wire exactly
+    once."""
     sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
     rows_per_band = n_hashes // n_bands
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}")
-                for r in range(rows_per_band)]
-        bands.append(
-            sig.select(F.col(id_col),
-                       F.md5(F.concat_ws("|", *cols)).alias("band_key")))
-    keys = bands[0]
-    for b in bands[1:]:
-        keys = keys.unionByName(b)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}")
+                                 for r in range(rows_per_band)]))
+        for b in range(n_bands)]
+    keys = sig.select(F.col(id_col),
+                      F.explode(F.array(*band_cols)).alias("band_key"))
+    keys = keys.repartition(F.col("band_key"))
     left = keys.select(F.col(id_col).alias("a"), "band_key")
     right = keys.select(F.col(id_col).alias("b"), "band_key")
     return (left.join(right, "band_key")
@@ -93,9 +169,30 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         threshold: float = 0.5, n: int = 3) -> DataFrame:
     """Exact n-gram-shingle Jaccard near-dup pairs: (a, b, jaccard) for
     jaccard >= threshold, a < b. jaccard rounded to 6dp for cross-engine
-    comparison."""
+    comparison.
+
+    r6 shape: per-doc set sizes are DOC-LOCAL (size of the distinct-shingle
+    array — the r5 shape re-tokenized the corpus and aggregated the
+    exploded stream a second time just to count it), and the two size
+    attaches onto the |pairs|-sized intersection table are explicit
+    broadcasts (doc-count-sized; the r5 plan could degrade to shuffling
+    the pair table twice when the size estimate exceeded the threshold).
+    The shingle equi-join itself stays — it is the exact-intersection
+    contract — but everything around it is map-side."""
     sh = token_shingles(df, text_col, id_col, n)
-    cnt = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    # set sizes doc-locally from the token-array-chained projection (see
+    # _tokens_frame perf note). No zero-shingle filter: n_sh=0 rows can
+    # never match a pair from `inter` (inner join), so they are inert —
+    # and a Filter here would predicate-push the tokenizer onto the scan.
+    # coalesce makes n_sh NON-NULLABLE: otherwise the jaccard>=t filter
+    # makes InferFiltersFromConstraints derive isnotnull(n_sh), inline the
+    # whole tokenize+shingle tree through the alias and push it onto the
+    # unsplittable single-task scan (~10s serial interpreted at sf0.1 —
+    # observed in the stage metrics as a 1-task 10-CPU-s scan stage).
+    cnt = (_tokens_frame(df, text_col, id_col)
+           .select(F.col(id_col),
+                   F.coalesce(F.size(_shingles_of(F.col("_tk"), n)),
+                              F.lit(0)).alias("n_sh")))
     a = sh.select(F.col(id_col).alias("a"), "shingle")
     b = sh.select(F.col(id_col).alias("b"), "shingle")
     inter = (a.join(b, "shingle").filter(F.col("a") < F.col("b"))
@@ -107,7 +204,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     jac = F.floor(
         F.col("i") / (F.col("na") + F.col("nb") - F.col("i")) * 1000000.0
     ) / 1000000.0
-    return (inter.join(ca, "a").join(cb, "b")
+    return (inter.join(F.broadcast(ca), "a").join(F.broadcast(cb), "b")
             .withColumn("jaccard", jac)
             .filter(F.col("jaccard") >= threshold)
             .select("a", "b", "jaccard"))
@@ -195,35 +292,64 @@ def simhash(df: DataFrame, text_col: str, id_col: str,
     hash_fn="xxhash64" (default, fast JVM hash, 64 bits) or "md5" — bit b
     taken from nibble b//4 of the md5 hex digest, any-engine-reproducible so
     the DuckDB oracle recomputes it exactly (bits <= 60 in md5 mode: a set
-    bit 63 would not fit a signed BIGINT on the SQL side)."""
+    bit 63 would not fit a signed BIGINT on the SQL side).
+
+    r6: computed DOC-LOCALLY. The r5 shape exploded one row per token
+    occurrence and shuffled 60 partial-sum columns per doc through a
+    groupBy; now each doc's ±1 vote vector is folded over its token array
+    in the scan projection (hash once per token -> per-token ±1 array ->
+    element-wise aggregate), so the whole operator is map-only. Integer
+    sums in any order are exact, so the signature is bit-identical.
+    Zero-token docs are dropped by an empty-array explode guard at the
+    end, not a Filter (a token-count Filter predicate-pushes the
+    tokenizer onto the single-task scan — see _tokens_frame)."""
     from .text import tokens_col
-    toks = df.select(F.col(id_col),
-                     F.explode(tokens_col(F.col(text_col))).alias("tok"))
+    base = df.select(F.col(id_col),
+                     tokens_col(F.col(text_col)).alias("toks"))
     one = F.lit(1).cast("long")
     if hash_fn == "md5":
         if bits > 60:
             raise ValueError("md5 mode supports at most 60 bits")
-        h = F.md5("tok")
 
-        def hbit(b):
-            nib = F.conv(F.substring(h, b // 4 + 1, 1), 16, 10).cast("int")
-            return F.shiftright(nib, b % 4).bitwiseAND(F.lit(1))
+        def pm_arr(tok):
+            """±1 vote array (length `bits`) for one token, one md5 call."""
+            h = F.md5(tok)
+            nibs = [F.conv(F.substring(h, q + 1, 1), 16, 10).cast("int")
+                    for q in range((bits + 3) // 4)]
+            return F.array(*[
+                F.when(F.shiftright(nibs[b // 4], b % 4)
+                       .bitwiseAND(F.lit(1)) != 0, 1).otherwise(-1)
+                for b in range(bits)])
     else:
-        hx = F.xxhash64("tok")
 
-        def hbit(b):
-            return F.shiftright(hx, b).bitwiseAND(one)
-    vote_cols = [
-        F.sum(F.when(hbit(b) != 0, 1).otherwise(-1)).alias(f"v{b}")
-        for b in range(bits)
-    ]
-    votes = toks.groupBy(id_col).agg(*vote_cols)
+        def pm_arr(tok):
+            hx = F.xxhash64(tok)
+            return F.array(*[
+                F.when(F.shiftright(hx, b).bitwiseAND(one) != 0,
+                       1).otherwise(-1)
+                for b in range(bits)])
+
+    # explicit projections so each stage's arrays materialize once per
+    # row: tokens -> per-token vote arrays -> folded vote vector
+    pm = base.select(F.col(id_col), F.size("toks").alias("_n"),
+                     F.transform("toks", pm_arr).alias("pms"))
+    votes = pm.select(
+        F.col(id_col), F.col("_n"),
+        F.aggregate(
+            "pms",
+            F.array(*[F.lit(0) for _ in range(bits)]),
+            lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q),
+        ).alias("v"))
     sig = F.lit(0).cast("long")
     for b in range(bits):
         sig = sig.bitwiseOR(
-            F.when(F.col(f"v{b}") > 0, F.shiftleft(one, b))
+            F.when(F.element_at("v", b + 1) > 0, F.shiftleft(one, b))
              .otherwise(F.lit(0).cast("long")))
-    return votes.select(F.col(id_col), sig.alias("simhash"))
+    # empty-array explode guard drops zero-token docs without a Filter
+    guarded = F.when(F.col("_n") > 0, F.array(sig)).otherwise(
+        F.array().cast("array<long>"))
+    return votes.select(F.col(id_col),
+                        F.explode(guarded).alias("simhash"))
 
 
 def simhash_near_pairs(sig_df: DataFrame, id_col: str,
@@ -235,15 +361,19 @@ def simhash_near_pairs(sig_df: DataFrame, id_col: str,
     hamming filter."""
     width = bits // 4
     mask = F.lit((1 << width) - 1)
-    parts = []
-    for p in range(4):
-        key = F.shiftright(F.col("simhash"), p * width).bitwiseAND(mask)
-        parts.append(sig_df.select(
-            F.col(id_col), F.col("simhash"),
-            F.concat(F.lit(f"{p}:"), key.cast("string")).alias("block")))
-    blocks = parts[0]
-    for p in parts[1:]:
-        blocks = blocks.unionByName(p)
+    # r6: the 4 block keys are one doc-local array explode (the r5 shape
+    # unioned 4 selects, recomputing the signature subtree per block), and
+    # ONE hash exchange on block co-partitions the self-join's two sides
+    # (ReusedExchange — without it each side recomputes the signature
+    # pipeline). Explode-of-4-array == the former 4-way union, row for row.
+    block_cols = [
+        F.concat(F.lit(f"{p}:"),
+                 F.shiftright(F.col("simhash"), p * width).bitwiseAND(mask)
+                 .cast("string"))
+        for p in range(4)]
+    blocks = sig_df.select(F.col(id_col), F.col("simhash"),
+                           F.explode(F.array(*block_cols)).alias("block"))
+    blocks = blocks.repartition(F.col("block"))
     a = blocks.select(F.col(id_col).alias("a"),
                       F.col("simhash").alias("sa"), "block")
     b = blocks.select(F.col(id_col).alias("b"),
