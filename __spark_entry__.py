@@ -1704,7 +1704,8 @@ PR_GRAPH_ITERS = 5
 def _pr_edges(spark, sf):
     """Deterministic test graph from lineitem: src = supplier, dst = part
     bucket; distinct edges, per-src weight = 1/outdeg."""
-    li = load(spark, sf, "lineitem")
+    li = _fanout(load(spark, sf, "lineitem")
+                 .select("l_suppkey", "l_partkey"))
     e = (li.select(F.col("l_suppkey").alias("src"),
                    (F.col("l_partkey") % 100 + 1).alias("dst"))
          .distinct())
@@ -1719,7 +1720,9 @@ def q_graph_pagerank(spark, sf):
     5 cycles here, verified against the SAME recurrence unrolled as nested
     SQL CTEs in the DuckDB oracle (rank-exact to 1e-8 rounding)."""
     from hadoopsearchengine_spark.operators.pagerank import pagerank
-    links = _pr_edges(spark, sf)
+    # materialized once: nodes.count() + pagerank's count/persist would
+    # otherwise re-run the scan+distinct+join three times (r6)
+    links = _pr_edges(spark, sf).localCheckpoint(eager=True)
     nodes = (links.select(F.col("src").alias("doc_id"))
              .union(links.select(F.col("dst").alias("doc_id"))).distinct())
     n = nodes.count()
@@ -1754,6 +1757,11 @@ def q_graph_keyword_pagerank(spark, sf):
         "src", "dst",
         F.round(F.col("w") / F.sum("w").over(W.partitionBy("src")), 9)
          .alias("weight"))
+    # r6: materialize the normalized link table ONCE — nodes.count() below,
+    # pagerank's own links.count() and its repartition+persist each re-ran
+    # the whole tfidf -> keyword_links chain (3x the most expensive subtree
+    # of this op); localCheckpoint computes it a single time
+    links = links.localCheckpoint(eager=True)
     nodes = (links.select(F.col("src").alias("doc_id"))
              .union(links.select(F.col("dst").alias("doc_id"))).distinct())
     n = nodes.count()

@@ -101,38 +101,21 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     is deterministic and reproducible in any engine (the oracle recomputes it
     in SQL).
 
-    r6: computed DOC-LOCALLY — mh_j = array_min over the doc's distinct
-    shingle array, entirely in the scan-side projections. The r5 shape
-    exploded S shingle rows and shuffled them into a groupBy(id)
-    min-aggregate; the explode + exchange are gone, the md5 count is
-    unchanged, and array_min-of-md5-hex == groupBy min (both binary string
-    order). Docs with zero shingles (fewer than shingle_n tokens) are
-    dropped by the token-count filter exactly as the explode dropped them.
-
-    Shape note: the token array is bound in its own select and referenced
-    by every mh column (see _tokens_frame perf note); the per-column
-    shingle rebuild is cheap array work. The zero-shingle row drop is an
-    empty-array explode guard, NOT a Filter — a Filter on token counts
-    gets predicate-pushed (alias-inlined) onto the single-task scan and
-    re-tokenizes there, serially and interpreted (~10s at sf0.1)."""
-    tk = _tokens_frame(df, text_col, id_col)
-
-    def _perm(j):
-        # single-arg lambda closure: a two-parameter lambda would be read
-        # by F.transform as (element, index) and shadow j with the index
-        prefix = F.lit(f"{j}|")
-        return lambda s: F.md5(F.concat(prefix, s))
-
-    sh = _shingles_of(F.col("_tk"), shingle_n)
-    sig_struct = F.struct(*[
-        F.array_min(F.transform(sh, _perm(j))).alias(f"mh{j}")
-        for j in range(n_hashes)])
-    guarded = F.when(F.size(F.col("_tk")) >= shingle_n,
-                     F.array(sig_struct)).otherwise(
-        F.array().cast(f"array<struct<{','.join(f'mh{j}:string' for j in range(n_hashes))}>>"))
-    return (tk.select(F.col(id_col), F.explode(guarded).alias("_s"))
-            .select(F.col(id_col), *[F.col(f"_s.mh{j}").alias(f"mh{j}")
-                                     for j in range(n_hashes)]))
+    r6 shape: explode the (pre-tokenized, see _tokens_frame) shingle
+    stream and compute the 8 md5s in a FLAT projection over shingle rows —
+    whole-stage codegen applies there, whereas md5 inside a higher-order-
+    function lambda evaluates interpreted (measured 5x slower: 208 vs ~40
+    CPU-seconds on the 10x corpus). The groupBy(id) min-aggregate combines
+    map-side — a doc's exploded rows are co-located, so the exchange
+    carries one 8-column row per doc — and doubles as the materialization
+    point minhash_lsh_pairs' self-join reuses."""
+    sh = token_shingles(df, text_col, id_col, shingle_n)
+    proj = sh.select(
+        F.col(id_col),
+        *[F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle"))).alias(f"h{j}")
+          for j in range(n_hashes)])
+    return proj.groupBy(id_col).agg(
+        *[F.min(f"h{j}").alias(f"mh{j}") for j in range(n_hashes)])
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
@@ -193,9 +176,17 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
            .select(F.col(id_col),
                    F.coalesce(F.size(_shingles_of(F.col("_tk"), n)),
                               F.lit(0)).alias("n_sh")))
-    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    # a-side hash-partitioned on `a`, b-side broadcast: every row of a
+    # given (a, b) pair then lives in a's partition, so HashPartitioning(a)
+    # satisfies the groupBy(a, b) clustering and the |pairs|-sized
+    # intermediate (116M rows at 10x sf0.1) is aggregated to FINAL counts
+    # in one pass without ever crossing an exchange (r6; previously those
+    # rows shuffled ~2.7 GB and were re-aggregated on the reduce side).
+    a = sh.select(F.col(id_col).alias("a"), "shingle").repartition(
+        F.col("a"))
     b = sh.select(F.col(id_col).alias("b"), "shingle")
-    inter = (a.join(b, "shingle").filter(F.col("a") < F.col("b"))
+    inter = (a.join(F.broadcast(b), "shingle")
+             .filter(F.col("a") < F.col("b"))
              .groupBy("a", "b").agg(F.count("*").alias("i")))
     ca = cnt.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"))
     cb = cnt.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb"))
@@ -294,62 +285,42 @@ def simhash(df: DataFrame, text_col: str, id_col: str,
     the DuckDB oracle recomputes it exactly (bits <= 60 in md5 mode: a set
     bit 63 would not fit a signed BIGINT on the SQL side).
 
-    r6: computed DOC-LOCALLY. The r5 shape exploded one row per token
-    occurrence and shuffled 60 partial-sum columns per doc through a
-    groupBy; now each doc's ±1 vote vector is folded over its token array
-    in the scan projection (hash once per token -> per-token ±1 array ->
-    element-wise aggregate), so the whole operator is map-only. Integer
-    sums in any order are exact, so the signature is bit-identical.
-    Zero-token docs are dropped by an empty-array explode guard at the
-    end, not a Filter (a token-count Filter predicate-pushes the
-    tokenizer onto the single-task scan — see _tokens_frame)."""
+    r6 shape: one explode over the (pre-tokenized, see _tokens_frame)
+    token stream, the digest in a flat projection, and the 60 bit-vote
+    sums in a map-side-combined groupBy — all whole-stage-codegen'd. The
+    r6 doc-local fold variant (per-token ±1 arrays + zip_with aggregate)
+    evaluated its lambdas interpreted and measured 2x slower (5.4s vs
+    2.5s on the 10x corpus); the explode exchange carries one 60-column
+    partial-sum row per doc per task, and the groupBy doubles as the
+    materialization point simhash_near_pairs' self-join reuses."""
     from .text import tokens_col
-    base = df.select(F.col(id_col),
-                     tokens_col(F.col(text_col)).alias("toks"))
+    tk = df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("_tk"))
+    toks = tk.select(F.col(id_col), F.explode("_tk").alias("tok"))
     one = F.lit(1).cast("long")
     if hash_fn == "md5":
         if bits > 60:
             raise ValueError("md5 mode supports at most 60 bits")
+        h = F.md5("tok")
 
-        def pm_arr(tok):
-            """±1 vote array (length `bits`) for one token, one md5 call."""
-            h = F.md5(tok)
-            nibs = [F.conv(F.substring(h, q + 1, 1), 16, 10).cast("int")
-                    for q in range((bits + 3) // 4)]
-            return F.array(*[
-                F.when(F.shiftright(nibs[b // 4], b % 4)
-                       .bitwiseAND(F.lit(1)) != 0, 1).otherwise(-1)
-                for b in range(bits)])
+        def hbit(b):
+            nib = F.conv(F.substring(h, b // 4 + 1, 1), 16, 10).cast("int")
+            return F.shiftright(nib, b % 4).bitwiseAND(F.lit(1))
     else:
+        hx = F.xxhash64("tok")
 
-        def pm_arr(tok):
-            hx = F.xxhash64(tok)
-            return F.array(*[
-                F.when(F.shiftright(hx, b).bitwiseAND(one) != 0,
-                       1).otherwise(-1)
-                for b in range(bits)])
-
-    # explicit projections so each stage's arrays materialize once per
-    # row: tokens -> per-token vote arrays -> folded vote vector
-    pm = base.select(F.col(id_col), F.size("toks").alias("_n"),
-                     F.transform("toks", pm_arr).alias("pms"))
-    votes = pm.select(
-        F.col(id_col), F.col("_n"),
-        F.aggregate(
-            "pms",
-            F.array(*[F.lit(0) for _ in range(bits)]),
-            lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q),
-        ).alias("v"))
+        def hbit(b):
+            return F.shiftright(hx, b).bitwiseAND(one)
+    vote_cols = [
+        F.sum(F.when(hbit(b) != 0, 1).otherwise(-1)).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    votes = toks.groupBy(id_col).agg(*vote_cols)
     sig = F.lit(0).cast("long")
     for b in range(bits):
         sig = sig.bitwiseOR(
-            F.when(F.element_at("v", b + 1) > 0, F.shiftleft(one, b))
+            F.when(F.col(f"v{b}") > 0, F.shiftleft(one, b))
              .otherwise(F.lit(0).cast("long")))
-    # empty-array explode guard drops zero-token docs without a Filter
-    guarded = F.when(F.col("_n") > 0, F.array(sig)).otherwise(
-        F.array().cast("array<long>"))
-    return votes.select(F.col(id_col),
-                        F.explode(guarded).alias("simhash"))
+    return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_near_pairs(sig_df: DataFrame, id_col: str,
