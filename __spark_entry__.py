@@ -4,7 +4,7 @@ Each ``queries()`` entry is an implemented operator from SURVEY.md §2 (or a
 training-data-pipeline op), expressed Spark-first in
 ``hadoopsearchengine_spark``; ``oracle_sql()`` carries the DuckDB-equivalent
 ANSI SQL run by the driver at sf=0.01 (row-count + schema + value-hash).
-Every entry has oracle SQL (75/75) — the iterative ops (PageRank cycles,
+Every entry has oracle SQL (76/76) — the iterative ops (PageRank cycles,
 IVF kmeans, label propagation, the expected-reward walk) unroll their fixed
 iteration counts into chained CTEs; the hash-dependent ops use
 engine-agnostic md5 modes.
@@ -448,21 +448,27 @@ def q_txt_bm25_topk(spark, sf):
     return _bm25_topk(spark, sf, 10)
 
 
-def _bm25_topk(spark, sf, k):
+def _per_doc_tf(spark, sf):
+    """(doc_id, token, tf) — the per-doc term table shared by the BM25 and
+    tf-idf chains. r6: the composite graph entries checkpoint ONE instance
+    and pass it to every consumer; before, each chain re-tokenized the
+    corpus (the dominant per-pass cost: the tokenizer's HOF lambdas
+    evaluate interpreted at ~2ms/doc)."""
     d = _fanout(load(spark, sf, "documents").select("doc_id", "text"))
-    per_doc = (d.select("doc_id",
-                        F.explode(tokens_col(F.col("text"))).alias("token"))
-               .groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
-    # dl = sum(tf) over a doc's terms == size of its token array: DOC-LOCAL
-    # (r6) — the r5 shape re-aggregated the exploded per_doc stream a second
-    # time just to count it. Zero-token docs are absent from per_doc; the
-    # explode guard drops them identically WITHOUT a Filter node (a dl>0
-    # Filter would predicate-push the tokenizer onto the single-task scan,
-    # dedup._tokens_frame notes).
-    _sz = F.size(tokens_col(F.col("text")))
-    dl = d.select("doc_id", F.explode(
-        F.when(_sz > 0, F.array(_sz)).otherwise(
-            F.array().cast("array<int>"))).alias("dl"))
+    return (d.select("doc_id",
+                     F.explode(tokens_col(F.col("text"))).alias("token"))
+            .groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
+
+
+def _bm25_topk(spark, sf, k, per_doc=None):
+    if per_doc is None:
+        # standalone: materialize once — per_doc otherwise recomputes for
+        # each of its consumers below (dl, qt/dfs, scored)
+        per_doc = _per_doc_tf(spark, sf).localCheckpoint(eager=True)
+    # dl = sum(tf) over the doc's terms (r5 formula) on the materialized
+    # term table — no second tokenize pass; zero-token docs are absent
+    # from per_doc, so the doc set (and avgdl) is identical
+    dl = per_doc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     n_docs = load(spark, sf, "documents").count()
     avgdl = dl.agg(F.avg("dl")).collect()[0][0]
     qt = per_doc.filter(F.col("token").isin(BM25_QUERY_TERMS))
@@ -496,15 +502,10 @@ def q_txt_bm25_batch(spark, sf):
     per request, DyableQuery). Shape: the tiny (query_id, token) table
     broadcasts onto the per-doc term stream, so the corpus is scanned and
     aggregated once for ALL queries; per-query top-5 via one window."""
-    d = _fanout(load(spark, sf, "documents").select("doc_id", "text"))
-    per_doc = (d.select("doc_id",
-                        F.explode(tokens_col(F.col("text"))).alias("token"))
-               .groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
-    # doc-local dl — same rationale and equivalence as _bm25_topk (r6)
-    _sz = F.size(tokens_col(F.col("text")))
-    dl = d.select("doc_id", F.explode(
-        F.when(_sz > 0, F.array(_sz)).otherwise(
-            F.array().cast("array<int>"))).alias("dl"))
+    # one materialized per-doc term table feeds dl + every query's terms
+    # (same rationale and equivalence as _bm25_topk, r6)
+    per_doc = _per_doc_tf(spark, sf).localCheckpoint(eager=True)
+    dl = per_doc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     n_docs = load(spark, sf, "documents").count()
     avgdl = dl.agg(F.avg("dl")).collect()[0][0]
     qterms = spark.createDataFrame(
@@ -534,14 +535,14 @@ def q_txt_bm25_batch(spark, sf):
 
 def q_sim_ann_cosine(spark, sf):
     """Brute-force exact cosine top-5 for query vectors vec_id < 10."""
-    emb = load(spark, sf, "embeddings")
+    emb = _fanout(load(spark, sf, "embeddings"))
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
 def q_sim_ann_lsh(spark, sf):
     """LSH-bucketed approximate cosine top-5 (rows-only: approximate by
     construction; recall vs exact is asserted in tests/)."""
-    emb = load(spark, sf, "embeddings")
+    emb = _fanout(load(spark, sf, "embeddings"))
     return similarity.cosine_topk_lsh(
         emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, n_planes=6)
 
@@ -551,7 +552,7 @@ def q_sim_neardup(spark, sf):
     blocked pair join (hash blocks -> block-pair equi-join -> per-tile GEMM);
     no CartesianProduct/BroadcastNestedLoop node in the plan (VERDICT r1).
     Verified against the all-pairs SQL oracle."""
-    emb = load(spark, sf, "embeddings")
+    emb = _fanout(load(spark, sf, "embeddings"))
     pairs = similarity.cosine_pairs_blocked(emb, threshold=0.4, n_blocks=8)
     return pairs.select("a", "b", F.round("cosine", 6).alias("cosine"))
 
@@ -568,7 +569,7 @@ def q_sim_semdedup(spark, sf):
     (dedup.neardup_groups contract: group_id = min reachable id, keep =
     doc_id == group_id). The DuckDB oracle chains the Lloyd CTEs, an
     intra-cell pair join, and the unrolled label rounds."""
-    emb = load(spark, sf, "embeddings")
+    emb = _fanout(load(spark, sf, "embeddings"))
     pairs = similarity.semdedup_pairs(
         emb, threshold=SEMDEDUP_TH, n_cells=16, kmeans_iters=5)
     return dedup.neardup_groups(pairs.select("a", "b"), emb, "vec_id",
@@ -763,7 +764,7 @@ def q_txt_spell_suggest(spark, sf):
     The dictionary — the 100-TB side — is never shuffled."""
     from hadoopsearchengine_spark.operators.spell import spell_suggest_df
 
-    d = load(spark, sf, "documents")
+    d = _fanout(load(spark, sf, "documents").select("doc_id", "text"))
     # materialized ONCE via localCheckpoint: BOTH the top-20 qterm
     # derivation and the candidate side of the suggestion join consume this
     # aggregation — without it the corpus tokenize+distinct+groupBy pipeline
@@ -799,7 +800,7 @@ def q_mm_audio_features(spark, sf):
         extract_audio_features)
     from hadoopsearchengine_spark.kernel.wavx import encode_wav
 
-    d = load(spark, sf, "documents").select("doc_id")
+    d = _fanout(load(spark, sf, "documents").select("doc_id"))
 
     def gen(batches):
         import numpy as np
@@ -979,7 +980,10 @@ def q_stream_dedup_stateful(spark, sf):
 
     from hadoopsearchengine_spark.streaming.stateful import (
         streaming_exact_dedup)
-    return streaming_exact_dedup(spark, d, "doc_id long, text string")
+    # state_partitions sized to the ~1.2k-row microbatches (see the
+    # operator docstring) — answer is partition-count-independent
+    return streaming_exact_dedup(spark, d, "doc_id long, text string",
+                                 state_partitions=8)
 
 
 
@@ -1143,7 +1147,7 @@ def q_txt_collocations_pmi(spark, sf):
             .orderBy(F.col("pmi").desc(), "t1", "t2").limit(100))
 
 
-def q_txt_keywords_tfidf(spark, sf):
+def q_txt_keywords_tfidf(spark, sf, per_doc=None):
     """Excerpt-keyword selection re-expressed as per-doc top-3 tf-idf terms
     (reference keeps top N=17 keywords/excerpt, DyableCommand.cpp:42).
 
@@ -1152,12 +1156,11 @@ def q_txt_keywords_tfidf(spark, sf):
     exchange of the term table replaces the r5 aggregate-exchange PLUS the
     join-shuffle of the same table (guide §2.4: two operations keyed the
     same way share one exchange). Row count per token is identical to the
-    joined df by construction."""
-    d = _fanout(load(spark, sf, "documents").select("doc_id", "text"))
+    joined df by construction. ``per_doc`` lets composite entries pass a
+    shared materialized term table (see _per_doc_tf)."""
     n_docs = load(spark, sf, "documents").count()
-    per_doc = (d.select("doc_id",
-                        F.explode(tokens_col(F.col("text"))).alias("token"))
-               .groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
+    if per_doc is None:
+        per_doc = _per_doc_tf(spark, sf)
     scored = (per_doc
               .withColumn("df", F.count("*").over(W.partitionBy("token")))
               .withColumn("tfidf", F.round(
@@ -1173,17 +1176,18 @@ def q_txt_keywords_tfidf(spark, sf):
 KWLINK_WINDOW = 3  # windowed successors per keyword (reference window size)
 
 
-def q_graph_keyword_links(spark, sf):
+def q_graph_keyword_links(spark, sf, per_doc=None):
     """Keyword-graph link generation (CreateKeywordLinks.cpp:40-86 — the
     derivation the r2 verdict flagged as the missing half of §2.2 row 11):
     per-doc top-3 tf-idf keywords become keyword hits (pulse-score proxy =
     text length, checksum = md5(text)), then operators.keyword_links pairs
     pulse-adjacent docs per keyword into symmetric weighted edges ready for
-    the second PulseRank pass."""
+    the second PulseRank pass. ``per_doc``: shared term table pass-through
+    (see _per_doc_tf)."""
     from hadoopsearchengine_spark.operators.keyword_links import keyword_links
 
     d = load(spark, sf, "documents")
-    kw = q_txt_keywords_tfidf(spark, sf)
+    kw = q_txt_keywords_tfidf(spark, sf, per_doc=per_doc)
     hits = (kw.join(d.select("doc_id", F.length("text").alias("pulse_score"),
                              F.md5("text").alias("check_sum")), "doc_id")
             .select(F.col("token").alias("keyword_id"), "doc_id",
@@ -1307,7 +1311,7 @@ def q_txt_phrase_match(spark, sf):
     """Exact phrase match via stored positions (the positional-index payoff;
     the reference's proximity runs, HitScore.h:228-233, generalize this):
     docs containing the bigram PHRASE with its occurrence count."""
-    d = load(spark, sf, "documents")
+    d = _fanout(load(spark, sf, "documents").select("doc_id", "text"))
     pos = d.select(
         "doc_id",
         F.posexplode(tokens_col(F.col("text"))).alias("pos", "term"))
@@ -1658,8 +1662,8 @@ def q_txt_anchor_terms(spark, sf):
     anchor text = the source's first 3 tokens; self-links dropped, targets
     resolved by join (dangling would drop). Output: per (target doc, term)
     anchor_tf."""
-    d = load(spark, sf, "documents")
-    n = d.count()
+    n = load(spark, sf, "documents").count()
+    d = _fanout(load(spark, sf, "documents").select("doc_id", "text"))
     toks = tokens_col(F.col("text"))
     edges = (d.select(F.col("doc_id").alias("src"),
                       ((F.col("doc_id") * 7 + 3) % F.lit(n)).alias("dst"),
@@ -1682,7 +1686,7 @@ def q_txt_excerpts(spark, sf):
     import pandas as pd
     from hadoopsearchengine_spark.kernel.htmlx import segment_excerpts
 
-    d = load(spark, sf, "documents").select("doc_id", "text")
+    d = _fanout(load(spark, sf, "documents").select("doc_id", "text"))
 
     def seg(batches):
         for pdf in batches:
@@ -1786,8 +1790,11 @@ def q_graph_expected_reward(spark, sf):
     bm25 + keyword-links SQL."""
     from hadoopsearchengine_spark.operators.exprew import expected_reward
 
-    cands = _bm25_topk(spark, sf, EXPREW_CAND_K)
-    edges = q_graph_keyword_links(spark, sf)
+    # one materialized per-doc term table shared by the BM25 candidate
+    # chain and the tf-idf keyword chain (r6 — each re-tokenized before)
+    per_doc = _per_doc_tf(spark, sf).localCheckpoint(eager=True)
+    cands = _bm25_topk(spark, sf, EXPREW_CAND_K, per_doc=per_doc)
+    edges = q_graph_keyword_links(spark, sf, per_doc=per_doc)
     return expected_reward(cands, edges, iterations=EXPREW_ITERS,
                            threshold=EXPREW_TH)
 
@@ -1808,8 +1815,10 @@ def q_graph_keyword_distribution(spark, sf):
     from hadoopsearchengine_spark.operators.kwdist import (
         keyword_distribution)
 
-    cands = _bm25_topk(spark, sf, KWDIST_CAND_K)
-    kw = q_txt_keywords_tfidf(spark, sf).select(
+    # shared materialized term table (r6; see q_graph_expected_reward)
+    per_doc = _per_doc_tf(spark, sf).localCheckpoint(eager=True)
+    cands = _bm25_topk(spark, sf, KWDIST_CAND_K, per_doc=per_doc)
+    kw = q_txt_keywords_tfidf(spark, sf, per_doc=per_doc).select(
         "doc_id", F.col("token").alias("keyword"))
     return keyword_distribution(cands, kw)
 
@@ -1826,29 +1835,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's first-50 correctness window always covers every
     # op changed since its last green check, plus a rotating slice of the
     # long-unchanged green ops; oldest byte-identical green entries sit last.
-    # r5 window: the 7 new ops (incl. the second-wave iceberg
-    # deletes/maintenance, stateful streaming dedup, PMI), the 5 ops whose
-    # code/oracle changed this round, then the 18 entries whose last driver
-    # check was r3 (r4 verdict Next №2 — every entry's driver evidence stays
-    # <= 2 rounds old), then r4-green fill; everything past 50 is r4-green
-    # and byte-unchanged this round.
+    # r6 (optimization round) window: the 29 entries whose IMPLEMENTATION was
+    # optimized this round (outputs verified identical vs the round-start
+    # tree and the DuckDB oracle — OPTIMIZATION_r06.md), then the 10 entries
+    # whose last driver check was r4 (evidence stays <= 2 rounds old), then
+    # r5-green fill to 50; everything past 50 is r5-green and byte-unchanged
+    # this round.
     return {
-        # -- new in r5 --
+        # -- implementation optimized in r6 --
+        "txt_ngram_jaccard": q_txt_ngram_jaccard,
+        "txt_collocations_pmi": q_txt_collocations_pmi,
+        "txt_neardup_groups": q_txt_neardup_groups,
+        "txt_keywords_phrases": q_txt_keywords_phrases,
+        "txt_minhash_sig": q_txt_minhash_sig,
+        "txt_minhash_lsh": q_txt_minhash_lsh,
+        "txt_simhash": q_txt_simhash,
+        "txt_simhash_pairs": q_txt_simhash_pairs,
+        "txt_cooccur": q_txt_cooccur,
+        "txt_keywords_tfidf": q_txt_keywords_tfidf,
+        "txt_token_counts": q_txt_token_counts,
+        "txt_term_doc_stats": q_txt_term_doc_stats,
+        "txt_bm25_topk": q_txt_bm25_topk,
+        "txt_bm25_batch": q_txt_bm25_batch,
+        "txt_spell_suggest": q_txt_spell_suggest,
+        "txt_phrase_match": q_txt_phrase_match,
+        "txt_anchor_terms": q_txt_anchor_terms,
+        "txt_excerpts": q_txt_excerpts,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_keyword_links": q_graph_keyword_links,
+        "graph_keyword_pagerank": q_graph_keyword_pagerank,
         "graph_keyword_distribution": q_graph_keyword_distribution,
+        "graph_expected_reward": q_graph_expected_reward,
+        "stream_dedup_stateful": q_stream_dedup_stateful,
+        "mm_audio_features": q_mm_audio_features,
+        "sim_ann_cosine": q_sim_ann_cosine,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_neardup": q_sim_neardup,
+        "sim_semdedup": q_sim_semdedup,
+        # -- last driver check r4; rotated into the window --
+        "txt_dedup_exact": q_txt_dedup_exact,
+        "txt_fingerprint": q_txt_fingerprint,
+        "txt_langid": q_txt_langid,
+        "txt_quality": q_txt_quality,
+        "txt_pii_scrub": q_txt_pii_scrub,
+        "txt_line_dedup": q_txt_line_dedup,
+        "txt_decontaminate": q_txt_decontaminate,
+        "stream_hourly_window": q_stream_hourly_window,
+        "rel_rollup": q_rel_rollup,
+        "rel_pivot": q_rel_pivot,
+        # -- r5-green fill to 50 --
         "src_iceberg_deletes": q_src_iceberg_deletes,
         "src_iceberg_eq_deletes": q_src_iceberg_eq_deletes,
         "src_iceberg_maintenance": q_src_iceberg_maintenance,
-        "stream_dedup_stateful": q_stream_dedup_stateful,
-        "txt_collocations_pmi": q_txt_collocations_pmi,
-        "txt_substr_dedup": q_txt_substr_dedup,
-        # -- implementation touched in r5 --
         "src_iceberg_roundtrip": q_src_iceberg_roundtrip,
-        "mm_audio_features": q_mm_audio_features,
-        "sim_semdedup": q_sim_semdedup,
+        "txt_substr_dedup": q_txt_substr_dedup,
         "sim_ann_ivf": q_sim_ann_ivf,
         "sim_ann_pq": q_sim_ann_pq,
-        "graph_expected_reward": q_graph_expected_reward,
-        # -- last driver check r3; rotated into the window --
+        "txt_winnow_fp": q_txt_winnow_fp,
+        "txt_stem_suffixes": q_txt_stem_suffixes,
+        "txt_mix_sample": q_txt_mix_sample,
+        "txt_repetition": q_txt_repetition,
+        # -- overflow tail: r5-green, byte-unchanged this round --
+        "rel_tpch_q1": q_rel_tpch_q1,
+        "rel_topk_per_group": q_rel_topk_per_group,
         "rel_key_occurrence": q_rel_key_occurrence,
         "rel_key_weight": q_rel_key_weight,
         "rel_dup_key_weight": q_rel_dup_key_weight,
@@ -1861,59 +1910,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_set_ops": q_rel_set_ops,
         "evt_asof_join": q_evt_asof_join,
         "evt_json_extract": q_evt_json_extract,
-        "txt_cooccur": q_txt_cooccur,
-        "txt_keywords_tfidf": q_txt_keywords_tfidf,
-        "txt_stem_suffixes": q_txt_stem_suffixes,
-        "txt_winnow_fp": q_txt_winnow_fp,
-        "txt_phrase_match": q_txt_phrase_match,
-        "graph_pagerank": q_graph_pagerank,
-        # -- r4-green fill to 50 --
-        "graph_keyword_pagerank": q_graph_keyword_pagerank,
-        "graph_keyword_links": q_graph_keyword_links,
+        "evt_hourly_window": q_evt_hourly_window,
+        "evt_sessionize": q_evt_sessionize,
         "txt_bpe_token_count": q_txt_bpe_token_count,
         "txt_gopher_rules": q_txt_gopher_rules,
         "txt_c4_rules": q_txt_c4_rules,
-        "txt_repetition": q_txt_repetition,
-        "txt_neardup_groups": q_txt_neardup_groups,
         "mm_pixel_dedup": q_mm_pixel_dedup,
         "mm_video_frames": q_mm_video_frames,
         "mm_media_features": q_mm_media_features,
-        "txt_mix_sample": q_txt_mix_sample,
-        "txt_anchor_terms": q_txt_anchor_terms,
-        "txt_excerpts": q_txt_excerpts,
-        "txt_keywords_phrases": q_txt_keywords_phrases,
-        "txt_bm25_batch": q_txt_bm25_batch,
         "txt_corpus_filter": q_txt_corpus_filter,
         "src_json_roundtrip": q_src_json_roundtrip,
         "src_csv_roundtrip": q_src_csv_roundtrip,
         "src_orc_roundtrip": q_src_orc_roundtrip,
-        "rel_tpch_q1": q_rel_tpch_q1,
-        "rel_topk_per_group": q_rel_topk_per_group,
-        "evt_hourly_window": q_evt_hourly_window,
-        "evt_sessionize": q_evt_sessionize,
-        "txt_token_counts": q_txt_token_counts,
-        "txt_term_doc_stats": q_txt_term_doc_stats,
-        # -- overflow tail: r4-green, byte-unchanged this round --
-        "txt_dedup_exact": q_txt_dedup_exact,
-        "txt_fingerprint": q_txt_fingerprint,
-        "txt_langid": q_txt_langid,
-        "txt_quality": q_txt_quality,
-        "txt_minhash_sig": q_txt_minhash_sig,
-        "txt_minhash_lsh": q_txt_minhash_lsh,
-        "txt_ngram_jaccard": q_txt_ngram_jaccard,
-        "txt_simhash": q_txt_simhash,
-        "txt_simhash_pairs": q_txt_simhash_pairs,
-        "txt_bm25_topk": q_txt_bm25_topk,
-        "sim_ann_cosine": q_sim_ann_cosine,
-        "sim_ann_lsh": q_sim_ann_lsh,
-        "sim_neardup": q_sim_neardup,
-        "txt_spell_suggest": q_txt_spell_suggest,
-        "txt_pii_scrub": q_txt_pii_scrub,
-        "txt_line_dedup": q_txt_line_dedup,
-        "txt_decontaminate": q_txt_decontaminate,
-        "stream_hourly_window": q_stream_hourly_window,
-        "rel_rollup": q_rel_rollup,
-        "rel_pivot": q_rel_pivot,
     }
 
 

@@ -53,7 +53,10 @@ def expected_reward(candidates: DataFrame, links: DataFrame,
     ROUNDED trav_prob so the threshold/tiebreak comparisons are
     engine-consistent; recurrent docs carry rank NULL (they are removed
     from the result set the reference would return)."""
-    cand = candidates.select("doc_id").distinct()
+    # r6: checkpoint the (query-sized) candidate set — it is consumed by
+    # TWO broadcast builds below, and each would otherwise recompute the
+    # whole upstream candidate query (for the entry op: the BM25 chain)
+    cand = candidates.select("doc_id").distinct().localCheckpoint(eager=True)
     e = (links
          .join(F.broadcast(cand.withColumnRenamed("doc_id", "src")), "src")
          .join(F.broadcast(cand.withColumnRenamed("doc_id", "dst")), "dst")
@@ -64,6 +67,17 @@ def expected_reward(candidates: DataFrame, links: DataFrame,
          .alias("w")).persist()
     active = (e.select(F.col("src").alias("doc_id"))
               .union(e.select(F.col("dst").alias("doc_id"))).distinct())
+    # fixed-shape candidate-sized iteration: AQE's per-stage re-planning
+    # only adds scheduler latency x iterations, and session-sized shuffle
+    # partition counts mean 32 tasks for a <=candidate-sized exchange —
+    # the operators/pagerank.py pattern (restored after the loop; every
+    # cycle is localCheckpoint-materialized, so restoring cannot change
+    # results)
+    spark = candidates.sparkSession
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     p = active.withColumn("p", F.lit(1.0)).localCheckpoint()
     for _ in range(iterations):
         back = (e.join(p.select(F.col("doc_id").alias("src"),
@@ -83,6 +97,8 @@ def expected_reward(candidates: DataFrame, links: DataFrame,
     # so repeated invocations don't accumulate session-lifetime cache
     # entries (the q_txt_spell_suggest leak pattern)
     e.unpersist()
+    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     fin = p.select("doc_id", F.round("p", round_to).alias("trav_prob"))
     fin = fin.withColumn("recurrent", F.col("trav_prob") > threshold)
     # the candidate set is query-sized: a single-partition rank window here

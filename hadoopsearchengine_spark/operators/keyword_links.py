@@ -57,7 +57,11 @@ def keyword_links(hits: DataFrame, window_size: int = 3) -> DataFrame:
                      F.col("p.dst").alias("dst"),
                      F.col("p.w").alias("weight")))
     # the reference writes each link and its swap (same weight: the second
-    # hit's keyword score), CreateKeywordLinks.cpp:75-81
+    # hit's keyword score), CreateKeywordLinks.cpp:75-81.
+    # r6: materialize the directed pairs once — the union's two branches
+    # otherwise re-run the whole hits->window->explode chain (and for the
+    # entry ops, the tf-idf chain feeding it) twice
+    pairs = pairs.localCheckpoint(eager=True)
     return pairs.unionByName(
         pairs.select(F.col("dst").alias("src"),
                      F.col("src").alias("dst"), "weight"))

@@ -50,7 +50,8 @@ def _update_fn(key, pdfs, state):
 
 def streaming_exact_dedup(spark: SparkSession, src_dir: str, schema,
                           text_col: str = "text", id_col: str = "doc_id",
-                          max_files_per_trigger: int = 1) -> DataFrame:
+                          max_files_per_trigger: int = 1,
+                          state_partitions: int | None = None) -> DataFrame:
     """Run the stateful dedup over a parquet file stream at ``src_dir``
     (each file/trigger becomes a microbatch when
     ``max_files_per_trigger=1``), drain it, and return the final per-key
@@ -59,7 +60,16 @@ def streaming_exact_dedup(spark: SparkSession, src_dir: str, schema,
 
     The memory sink accumulates one row per (key, microbatch that touched
     the key); keep_id only ever decreases and n_docs only ever grows, so
-    the final state per key is exactly (min keep_id, max n_docs)."""
+    the final state per key is exactly (min keep_id, max n_docs).
+
+    ``state_partitions`` sizes the stateful exchange (pinned per query at
+    start from spark.sql.shuffle.partitions): every state partition costs
+    a python-worker spin-up + state-store open/commit PER MICROBATCH
+    (r6 measurement: 32 partitions x 4 batches = 128 ~0.5s tasks for a
+    5k-row stream), so size it to the microbatch volume, not the cluster —
+    a production deployment with GB-scale triggers raises it. The per-key
+    state math is commutative/associative, so the answer is partition-
+    count-independent. None = leave the session conf untouched."""
     import uuid
 
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -73,13 +83,20 @@ def streaming_exact_dedup(spark: SparkSession, src_dir: str, schema,
         _update_fn, OUT_SCHEMA, STATE_SCHEMA, "update",
         GroupStateTimeout.NoTimeout)
     name = "dedup_" + uuid.uuid4().hex[:12]
-    q = (upd.writeStream.outputMode("update")
-         .format("memory").queryName(name).start())
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.processAllAvailable()
-        n_batches = len(q.recentProgress)
+        q = (upd.writeStream.outputMode("update")
+             .format("memory").queryName(name).start())
+        try:
+            q.processAllAvailable()
+            n_batches = len(q.recentProgress)
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if state_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     out = (spark.table(name).groupBy("text_md5")
            .agg(F.min("keep_id").alias("keep_id"),
                 F.max("n_docs").alias("n_docs"))
