@@ -60,17 +60,6 @@ def _tokens_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                      tokens_col(F.col(text_col)).alias("_tk"))
 
 
-def doc_shingles(df: DataFrame, text_col: str, id_col: str,
-                 n: int = 3) -> DataFrame:
-    """Doc-LOCAL distinct n-token shingles: (id, shingles array<string>),
-    one row per input doc (possibly empty array). Tokens per the engine
-    tokenizer (functions.text.tokens_col); see _tokens_frame for the
-    evaluation-shape rationale."""
-    tk = _tokens_frame(df, text_col, id_col)
-    return tk.select(F.col(id_col),
-                     _shingles_of(F.col("_tk"), n).alias("shingles"))
-
-
 def token_shingles(df: DataFrame, text_col: str, id_col: str,
                    n: int = 3) -> DataFrame:
     """Distinct n-token shingles per doc: (id, shingle). Tokens per the
